@@ -1,0 +1,3 @@
+"""Execution engine: jitted executors, checkpoint I/O, loss/metrics kernels."""
+
+from . import checkpoint, executor  # noqa: F401

@@ -1,0 +1,203 @@
+"""Jitted execution engine.
+
+The reference runs synchronous, per-batch (or per-image!) eager forwards
+(utils/benchmark_utils.py:67-75 is batch=1).  Here every mode shares one
+engine: a fixed-shape jitted forward taking **uint8** NHWC images (normalized
+on device), emitting stacked logits plus device-side softmax / threshold /
+argmax, with host-side batch padding so arbitrary N never retriggers
+compilation.  Optionally shards the batch axis over a device mesh
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IGNORE_INDEX, UNKNOWN_PRED, TaskSpec
+from ..models import get_family
+from ..ops.preprocess import normalize_uint8
+
+
+def class_mask(tasks: TaskSpec) -> np.ndarray:
+    """[T, Kmax] bool — True where a class slot is real for the task."""
+    m = np.zeros((len(tasks), tasks.max_classes), bool)
+    for i, k in enumerate(tasks.num_classes):
+        m[i, :k] = True
+    return m
+
+
+def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over each task's real classes; padded slots get probability 0.
+
+    logits: [..., T, Kmax]; mask: [T, Kmax].
+    """
+    neg = jnp.finfo(logits.dtype).min
+    z = jnp.where(mask, logits, neg)
+    p = jax.nn.softmax(z, axis=-1)
+    return jnp.where(mask, p, 0.0)
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-task mean CE over samples whose label != IGNORE_INDEX.
+
+    logits: [B, T, Kmax]; labels: [B, T] int (IGNORE_INDEX = missing).
+    Returns (per_task_loss [T], per_task_count [T]).  Matches the reference's
+    per-task ``CrossEntropyLoss`` over the valid mask
+    (Functions/PMG_evaluation.py:134-141).
+    """
+    neg = jnp.finfo(jnp.float32).min
+    z = jnp.where(mask, logits.astype(jnp.float32), neg)
+    logp = jax.nn.log_softmax(z, axis=-1)
+    valid = labels != IGNORE_INDEX
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.sum(valid, axis=0)
+    return jnp.sum(nll, axis=0) / jnp.maximum(count, 1), count
+
+
+class Engine:
+    """Compiled multi-task vision engine for one (family, spec, params).
+
+    Single entry for every workload: ``run(images_uint8)`` returns probs /
+    preds / logits for N images (host numpy), padding N up to the compiled
+    batch size internally.
+    """
+
+    def __init__(
+        self,
+        family: str,
+        spec,
+        params,
+        *,
+        batch_size: int = 32,
+        prob_threshold: float = 0.5,
+        dtype: jnp.dtype = jnp.float32,
+        capture: Sequence[str] = (),
+        mesh=None,
+        donate: bool = False,
+    ):
+        self.family = family
+        self.spec = spec
+        self.tasks: TaskSpec = spec.tasks
+        self.batch_size = batch_size
+        self.prob_threshold = float(prob_threshold)
+        self.dtype = dtype
+        self.capture = tuple(capture)
+        self._mod = get_family(family)
+        self._mask = jnp.asarray(class_mask(self.tasks))
+        self.mesh = mesh
+
+        def _step(params, images, labels):
+            x = normalize_uint8(images, dtype)
+            logits, aux = self._mod.apply(params, x, spec, self.capture)
+            logits = logits.astype(jnp.float32)
+            probs = masked_softmax(logits, self._mask)
+            maxp = jnp.max(probs, axis=-1)
+            preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            preds = jnp.where(maxp < self.prob_threshold, UNKNOWN_PRED, preds)
+            loss_t, count_t = masked_cross_entropy(logits, labels, self._mask)
+            out = {
+                "logits": logits,
+                "probs": probs,
+                "max_probs": maxp,
+                "preds": preds,
+                "loss_per_task": loss_t,
+                "count_per_task": count_t,
+            }
+            out.update(aux)
+            return out
+
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._jit = jax.jit(
+                _step,
+                in_shardings=(replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)),
+            )
+            self.params = jax.device_put(params, replicated(mesh))
+        else:
+            self._jit = jax.jit(_step)
+            self.params = params
+
+    # -- low-level -------------------------------------------------------
+
+    def step(self, images: np.ndarray, labels: Optional[np.ndarray] = None):
+        """One compiled step on exactly ``batch_size`` uint8 images."""
+        if labels is None:
+            labels = np.full(
+                (images.shape[0], len(self.tasks)), IGNORE_INDEX, np.int32
+            )
+        return self._jit(self.params, images, labels)
+
+    def warmup(self, img_size: int = 224) -> None:
+        z = np.zeros((self.batch_size, img_size, img_size, 3), np.uint8)
+        jax.block_until_ready(self.step(z))
+
+    # -- high-level ------------------------------------------------------
+
+    def run(
+        self,
+        images: np.ndarray,
+        labels: Optional[np.ndarray] = None,
+        collect: Sequence[str] = ("probs", "preds"),
+        measure_time: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Forward N images (any N) -> host dict of stacked arrays [N, ...].
+
+        Pads the tail batch; per-batch wall-times returned under "times" when
+        ``measure_time`` (parity with the reference's times_*.json telemetry).
+        """
+        n = images.shape[0]
+        bs = self.batch_size
+        outs: Dict[str, List[np.ndarray]] = {k: [] for k in collect}
+        loss_sums = np.zeros(len(self.tasks), np.float64)
+        counts = np.zeros(len(self.tasks), np.int64)
+        times: List[float] = []
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            chunk = images[s:e]
+            lab = labels[s:e] if labels is not None else None
+            if e - s < bs:
+                pad = bs - (e - s)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+                if lab is not None:
+                    lab = np.concatenate(
+                        [lab, np.full((pad, lab.shape[1]), IGNORE_INDEX, lab.dtype)]
+                    )
+            t0 = time.perf_counter()
+            res = self.step(chunk, lab)
+            if measure_time:
+                jax.block_until_ready(res)
+                times.append(time.perf_counter() - t0)
+            for k in collect:
+                outs[k].append(np.asarray(res[k])[: e - s])
+            if labels is not None:
+                cnt = np.asarray(res["count_per_task"], np.int64)
+                loss_sums += np.asarray(res["loss_per_task"], np.float64) * cnt
+                counts += cnt
+        result = {k: np.concatenate(v, axis=0) for k, v in outs.items() if v}
+        if labels is not None:
+            result["loss_per_task"] = loss_sums / np.maximum(counts, 1)
+            result["count_per_task"] = counts
+        if measure_time:
+            result["times"] = np.asarray(times)
+        return result
+
+    def predict_dict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """{task: probs [N, K_t]} — the reference's per-task dict contract."""
+        probs = self.run(images, collect=("probs",))["probs"]
+        return {
+            t: probs[:, i, : self.tasks.num_classes[i]]
+            for i, t in enumerate(self.tasks.names)
+        }

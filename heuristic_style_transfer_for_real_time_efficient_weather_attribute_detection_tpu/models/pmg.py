@@ -1,0 +1,191 @@
+"""PMG — the flagship "PatchGAN-Multitask-Gram" model (~3M params).
+
+Architecture (reference ``MultiTaskPatchGANGramModelNonOverlapV2``,
+models_PMG.py:77-199): non-overlapping conv trunk (k4 s4 p0, doubling from
+``ndf`` while rf > 4 and filters <= 512, then a 1x1 block) -> optional SE ->
+1x1 ``chan_proj`` to ``gram_channels`` -> split into ``patch_div^2`` disjoint
+patches (replicate-pad) -> per-patch Gram -> flatten to tokens ->
+``token_proj`` Linear -> pre-norm TransformerEncoder -> per-task learned-query
+pooling -> per-task Linear heads.
+
+Shipped production config (Model_weights/PMG/hyperparameters_PMG.json:8-33):
+ndf=32, patch_size=64, patch_div=3, gram_channels=96, d_model=192, 2 layers,
+4 heads, norm=batch; 224px input -> 14x14 feats -> 15x15 pad -> 9 patches of
+5x5 -> 9 Gram tokens of 96*96=9216 dims -> 192-d tokens; 12 tasks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TaskSpec
+from ..ops.attention import stacked_task_heads, task_query_pool, transformer_encoder
+from ..ops.gram import patch_gram_tokens
+from ..ops.nn import conv2d, init_conv, init_linear, init_se, linear, se_block
+from .trunk import apply_trunk, init_trunk, trunk_plan
+
+# Reference builder defaults (utils/PMG/PMG_model_utils.py:135-172).
+DEFAULTS = dict(
+    ndf=64,
+    patch_size=70,
+    patch_div=4,
+    gram_channels=64,
+    d_model=256,
+    transformer_layers=1,
+    transformer_heads=4,
+    use_token_attention=True,
+    use_channel_attention=False,
+    norm="batch",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Spec:
+    tasks: TaskSpec
+    ndf: int = 64
+    norm: str = "batch"
+    patch_size: int = 70
+    patch_div: int = 4
+    gram_channels: int = 64
+    d_model: int = 256
+    transformer_layers: int = 1
+    transformer_heads: int = 4
+    use_token_attention: bool = True
+    use_channel_attention: bool = False
+    input_nc: int = 3
+
+    @property
+    def plan(self):
+        # k=s=4, p=0; final block is 1x1 s1 p0 (models_PMG.py:111-128).
+        return trunk_plan(
+            self.ndf, self.patch_size, 4, 4, 0, 1, 0, in_nc=self.input_nc
+        )
+
+    @property
+    def trunk_channels(self) -> int:
+        return self.plan[-1].cout
+
+    @property
+    def has_transformer(self) -> bool:
+        return self.use_token_attention and self.transformer_layers > 0
+
+    @property
+    def token_dim_in(self) -> int:
+        return self.gram_channels * self.gram_channels
+
+
+def build_spec(tasks: Mapping[str, Any], hparams: Dict[str, Any]) -> Spec:
+    """hparams dict (+reference defaults) -> Spec."""
+    h = {**DEFAULTS, **{k: v for k, v in (hparams or {}).items() if k in DEFAULTS}}
+    return Spec(
+        tasks=TaskSpec.from_tasks(tasks),
+        ndf=int(h["ndf"]),
+        norm=str(h["norm"]),
+        patch_size=int(h["patch_size"]),
+        patch_div=int(h["patch_div"]),
+        gram_channels=int(h["gram_channels"]),
+        d_model=int(h["d_model"]),
+        transformer_layers=int(h["transformer_layers"]),
+        transformer_heads=int(h["transformer_heads"]),
+        use_token_attention=bool(h["use_token_attention"]),
+        use_channel_attention=bool(h["use_channel_attention"]),
+    )
+
+
+def init(key, spec: Spec) -> Dict[str, Any]:
+    t = spec.tasks
+    d = spec.d_model
+    kt, kse, kcp, ktp, ktx, kq, kh = jax.random.split(key, 7)
+    params: Dict[str, Any] = {
+        # Trunk convs are bias-free (models_PMG.py:115 ``bias=False``).
+        "trunk": init_trunk(kt, spec.plan, spec.norm, conv_bias=False),
+        "chan_proj": init_conv(kcp, 1, 1, spec.trunk_channels, spec.gram_channels),
+        "token_proj": init_linear(ktp, spec.token_dim_in, d),
+        "queries": jax.random.normal(kq, (len(t), d), jnp.float32),
+    }
+    if spec.use_channel_attention:
+        params["se"] = init_se(kse, spec.trunk_channels, bias=False)
+    if spec.has_transformer:
+        layers = []
+        for k in jax.random.split(ktx, spec.transformer_layers):
+            ka, ko, k1, k2 = jax.random.split(k, 4)
+            kaq, kak, kav = jax.random.split(ka, 3)
+            ff = 2 * d  # dim_feedforward = 2*d_model (models_PMG.py:146)
+            layers.append(
+                {
+                    "attn": {
+                        "wq": init_linear(kaq, d, d)["w"],
+                        "wk": init_linear(kak, d, d)["w"],
+                        "wv": init_linear(kav, d, d)["w"],
+                        "bq": jnp.zeros((d,), jnp.float32),
+                        "bk": jnp.zeros((d,), jnp.float32),
+                        "bv": jnp.zeros((d,), jnp.float32),
+                        "wo": init_linear(ko, d, d)["w"],
+                        "bo": jnp.zeros((d,), jnp.float32),
+                    },
+                    "norm1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+                    "norm2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+                    "ffn1": init_linear(k1, d, ff),
+                    "ffn2": init_linear(k2, ff, d),
+                }
+            )
+        params["transformer"] = layers
+    # Stacked per-task classifier, zero-padded to Kmax.
+    kmax = t.max_classes
+    hw = jnp.zeros((len(t), d, kmax), jnp.float32)
+    hb = jnp.zeros((len(t), kmax), jnp.float32)
+    for i, kk in enumerate(jax.random.split(kh, len(t))):
+        p = init_linear(kk, d, t.num_classes[i])
+        hw = hw.at[i, :, : t.num_classes[i]].set(p["w"])
+        hb = hb.at[i, : t.num_classes[i]].set(p["b"])
+    params["heads"] = {"w": hw, "b": hb}
+    return params
+
+
+def apply(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    spec: Spec,
+    capture: Sequence[str] = (),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward: normalized NHWC images -> (stacked logits [B,T,Kmax], aux).
+
+    ``capture`` may request: "features" (trunk output, the Grad-CAM target
+    layer — last conv of feature_extractor, Functions/PMG_evaluation.py:59-64),
+    "tokens" (post-transformer), "pooled" (per-task embeddings — the t-SNE
+    tap uses final logits in the reference, utils/tsne_utils.py:54-70, but
+    pooled embeddings are the richer native tap).
+    """
+    aux: Dict[str, jnp.ndarray] = {}
+    feats = apply_trunk(params["trunk"], x, spec.plan, spec.norm)
+    if "features" in capture:
+        aux["features"] = feats
+    h = se_block(feats, params["se"]) if spec.use_channel_attention else feats
+    z = conv2d(h, params["chan_proj"])
+    tokens = patch_gram_tokens(z, spec.patch_div)
+    tokens = linear(tokens, params["token_proj"])
+    if spec.has_transformer:
+        tokens = transformer_encoder(
+            tokens, params["transformer"], spec.transformer_heads
+        )
+    if "tokens" in capture:
+        aux["tokens"] = tokens
+    pooled = task_query_pool(tokens, params["queries"])
+    if "pooled" in capture:
+        aux["pooled"] = pooled
+    logits = stacked_task_heads(pooled, params["heads"])
+    return logits, aux
+
+
+def trunk_features(params: Dict[str, Any], x: jnp.ndarray, spec: Spec) -> jnp.ndarray:
+    """Trunk-only forward (style transfer taps raw ``feature_extractor``
+    output — utils/PMG/PMG_style_transfer.py:21-23)."""
+    return apply_trunk(params["trunk"], x, spec.plan, spec.norm)
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

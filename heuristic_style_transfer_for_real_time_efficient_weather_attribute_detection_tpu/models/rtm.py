@@ -1,0 +1,157 @@
+"""RTM — "ResNet-Truncated-Multitask" (reference
+``MultiHeadAttentionPerTaskModel``, models_RTM.py:27-119).
+
+Truncated ResNet-50 (first ``truncate_after_layer`` children) -> spatial
+tokens [B, HW, C] -> per-task query-attention head (``TaskAttentionHead``,
+models_RTM.py:9-24) -> per-task MLP classifier; ablation path
+(``use_attention=False``) classifies the GAP embedding.
+
+All per-task heads are stacked over a task axis (one batched einsum chain —
+see ops/attention.rtm_task_attention) and the MLP classifiers are stacked
+likewise; only class counts differ per task, handled by Kmax zero-padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TaskSpec
+from ..ops.attention import rtm_task_attention
+from ..ops.nn import init_linear
+from . import resnet
+
+DEFAULTS = dict(
+    truncate_layer=10,  # test_RTM.py:102 default; clamps to 8 children
+    use_attention=True,
+    attn_token_dim=None,
+    cls_hidden_dims=(),
+    cls_num_layers=0,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Spec:
+    tasks: TaskSpec
+    truncate_after_layer: int = 10
+    use_attention: bool = True
+    attn_token_dim: Optional[int] = None
+    cls_hidden_dims: Tuple[int, ...] = ()
+    cls_num_layers: int = 0
+
+    @property
+    def num_features(self) -> int:
+        return resnet.stage_out_channels(self.truncate_after_layer)
+
+    @property
+    def token_dim(self) -> int:
+        return self.attn_token_dim or self.num_features
+
+    @property
+    def mlp_dims(self) -> Tuple[int, ...]:
+        # MLP: C -> hidden_dims[:cls_num_layers] -> n_cls (models_RTM.py:74-81)
+        return (self.num_features,) + tuple(
+            self.cls_hidden_dims[: self.cls_num_layers]
+        )
+
+
+def build_spec(tasks: Mapping[str, Any], hparams: Dict[str, Any]) -> Spec:
+    h = {**DEFAULTS, **{k: v for k, v in (hparams or {}).items() if k in DEFAULTS}}
+    return Spec(
+        tasks=TaskSpec.from_tasks(tasks),
+        truncate_after_layer=int(h["truncate_layer"]),
+        use_attention=bool(h["use_attention"]),
+        attn_token_dim=(
+            None if h["attn_token_dim"] is None else int(h["attn_token_dim"])
+        ),
+        cls_hidden_dims=tuple(int(d) for d in (h["cls_hidden_dims"] or ())),
+        cls_num_layers=int(h["cls_num_layers"]),
+    )
+
+
+def init(key, spec: Spec) -> Dict[str, Any]:
+    t = spec.tasks
+    nt, kmax = len(t), t.max_classes
+    c, d = spec.num_features, spec.token_dim
+    kb, ka, kc = jax.random.split(key, 3)
+    params: Dict[str, Any] = {"backbone": resnet.init(kb)}
+    if spec.use_attention:
+        proj_w = jnp.zeros((nt, c, d), jnp.float32)
+        out_w = jnp.zeros((nt, d, c), jnp.float32)
+        qs = jnp.zeros((nt, d), jnp.float32)
+        for i, kk in enumerate(jax.random.split(ka, nt)):
+            k1, k2, k3 = jax.random.split(kk, 3)
+            proj_w = proj_w.at[i].set(init_linear(k1, c, d, bias=False)["w"])
+            out_w = out_w.at[i].set(init_linear(k2, d, c, bias=False)["w"])
+            qs = qs.at[i].set(jax.random.normal(k3, (d,), jnp.float32))
+        params["attn"] = {"proj_w": proj_w, "q": qs, "out_w": out_w}
+    # Stacked MLP classifiers: hidden layers share dims across tasks.
+    dims = spec.mlp_dims
+    mlp: List[Dict[str, jnp.ndarray]] = []
+    task_keys = jax.random.split(kc, nt)
+    for li in range(len(dims) - 1):
+        w = jnp.zeros((nt, dims[li], dims[li + 1]), jnp.float32)
+        bvec = jnp.zeros((nt, dims[li + 1]), jnp.float32)
+        for i in range(nt):
+            p = init_linear(jax.random.fold_in(task_keys[i], li), dims[li], dims[li + 1])
+            w, bvec = w.at[i].set(p["w"]), bvec.at[i].set(p["b"])
+        mlp.append({"w": w, "b": bvec})
+    fw = jnp.zeros((nt, dims[-1], kmax), jnp.float32)
+    fb = jnp.zeros((nt, kmax), jnp.float32)
+    for i in range(nt):
+        p = init_linear(jax.random.fold_in(task_keys[i], 99), dims[-1], t.num_classes[i])
+        fw = fw.at[i, :, : t.num_classes[i]].set(p["w"])
+        fb = fb.at[i, : t.num_classes[i]].set(p["b"])
+    params["mlp"] = mlp
+    params["final"] = {"w": fw, "b": fb}
+    return params
+
+
+def _classify(params: Dict[str, Any], h: jnp.ndarray) -> jnp.ndarray:
+    """Stacked per-task MLP. h: [B, T, C] -> logits [B, T, Kmax]."""
+    for lp in params["mlp"]:
+        h = jax.nn.relu(
+            jnp.einsum("btc,tcd->btd", h, lp["w"], preferred_element_type=jnp.float32)
+            + lp["b"]
+        )
+    return (
+        jnp.einsum(
+            "btc,tck->btk", h, params["final"]["w"],
+            preferred_element_type=jnp.float32,
+        )
+        + params["final"]["b"]
+    )
+
+
+def apply(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    spec: Spec,
+    capture: Sequence[str] = (),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward -> (stacked logits [B,T,Kmax], aux).
+
+    ``capture``: "features" (truncated-backbone output, the Grad-CAM target,
+    Functions/RTM_evaluation.py:175-183), "shared_embedding" (GAP [B,C],
+    models_RTM.py:95), "task_embeddings" ([B,T,C] attention outputs — the
+    t-SNE tap, Functions/RTM_evaluation.py:668-749).
+    """
+    aux: Dict[str, jnp.ndarray] = {}
+    feats = resnet.apply_truncated(params["backbone"], x, spec.truncate_after_layer)
+    if "features" in capture:
+        aux["features"] = feats
+    b, h, w, c = feats.shape
+    shared = jnp.mean(feats, axis=(1, 2))
+    if "shared_embedding" in capture:
+        aux["shared_embedding"] = shared
+    if spec.use_attention:
+        tokens = feats.reshape(b, h * w, c)
+        emb = rtm_task_attention(tokens, params["attn"])  # [B, T, C]
+    else:
+        emb = jnp.broadcast_to(shared[:, None, :], (b, len(spec.tasks), c))
+    if "task_embeddings" in capture:
+        aux["task_embeddings"] = emb
+    return _classify(params, emb), aux

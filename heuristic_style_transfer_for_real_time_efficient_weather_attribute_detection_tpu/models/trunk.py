@@ -1,0 +1,73 @@
+"""Shared PatchGAN-style conv trunk (used by both PM and PMG families).
+
+Both trunks are built by the same doubling rule (models_PM.py:114-137,
+models_PMG.py:107-129): starting at ``ndf`` filters, add
+Conv(k, s, p) -> Norm -> LeakyReLU(0.2) blocks, doubling filters, while the
+receptive-field counter (initialized to ``patch_size``) stays > 4 after
+repeated division by the stride AND the *current* filter count is <= 512;
+then one final block (1x1 s1 for PMG, k4 s1 p1 for PM) to ``num_filters``.
+
+The plan is pure static Python — shapes are fixed at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn import conv2d, init_conv, init_norm, leaky_relu
+from ..ops.norms import apply_norm
+
+
+class ConvBlock(NamedTuple):
+    cin: int
+    cout: int
+    kernel: int
+    stride: int
+    pad: int
+
+
+def trunk_plan(
+    ndf: int,
+    patch_size: int,
+    kernel: int,
+    stride: int,
+    pad: int,
+    final_kernel: int,
+    final_pad: int,
+    in_nc: int = 3,
+) -> Tuple[ConvBlock, ...]:
+    """Static layer plan for the doubling trunk + its final s1 block."""
+    blocks: List[ConvBlock] = []
+    cin, nf, rf = in_nc, ndf, float(patch_size)
+    while rf > 4 and nf <= 512:
+        blocks.append(ConvBlock(cin, nf, kernel, stride, pad))
+        cin, nf, rf = nf, nf * 2, rf / stride
+    blocks.append(ConvBlock(cin, nf, final_kernel, 1, final_pad))
+    return tuple(blocks)
+
+
+def init_trunk(
+    key, plan: Tuple[ConvBlock, ...], norm: str, conv_bias: bool
+) -> List[Dict]:
+    keys = jax.random.split(key, len(plan))
+    return [
+        {
+            "conv": init_conv(k, b.kernel, b.kernel, b.cin, b.cout, bias=conv_bias),
+            "norm": init_norm(b.cout, norm),
+        }
+        for k, b in zip(keys, plan)
+    ]
+
+
+def apply_trunk(
+    params: List[Dict], x: jnp.ndarray, plan: Tuple[ConvBlock, ...], norm: str
+) -> jnp.ndarray:
+    """NHWC conv trunk: (Conv -> Norm -> LeakyReLU(0.2)) per planned block."""
+    for p, b in zip(params, plan):
+        x = conv2d(x, p["conv"], stride=b.stride, padding=b.pad)
+        x = apply_norm(x, p["norm"], norm)
+        x = leaky_relu(x, 0.2)
+    return x

@@ -1,0 +1,99 @@
+"""Image preprocessing — host decode/resize, device normalize.
+
+Host side reproduces the reference transform exactly
+(utils/datasets_utils.py:205-215: Resize(256, bilinear) -> CenterCrop(224) ->
+ToTensor -> ImageNet Normalize) using PIL directly, so outputs are
+bit-identical to torchvision on PIL inputs.
+
+Device side: images cross host->device as **uint8** (4x less H2D traffic than
+f32 — the usual serving bottleneck) and are converted+normalized on the TPU
+inside the jitted forward (``normalize_uint8``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..config import DEFAULT_IMG_SIZE, DEFAULT_RESIZE, IMAGENET_MEAN, IMAGENET_STD
+
+VALID_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+
+
+def resize_shorter(img: Image.Image, size: int = DEFAULT_RESIZE) -> Image.Image:
+    """Resize so the shorter side equals ``size`` (aspect preserved, bilinear).
+
+    Same arithmetic as torchvision ``Resize(int)`` on PIL images.
+    """
+    w, h = img.size
+    if (w <= h and w == size) or (h <= w and h == size):
+        return img
+    if w < h:
+        new_w = size
+        new_h = int(round(size * h / w))
+    else:
+        new_h = size
+        new_w = int(round(size * w / h))
+    return img.resize((new_w, new_h), Image.BILINEAR)
+
+
+def center_crop(img: Image.Image, size: int = DEFAULT_IMG_SIZE) -> Image.Image:
+    """Center crop (torchvision ``CenterCrop`` rounding)."""
+    w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def load_image_uint8(
+    path_or_img, img_size: int = DEFAULT_IMG_SIZE, resize: int = DEFAULT_RESIZE
+) -> np.ndarray:
+    """Decode + resize + crop -> HWC uint8 (normalization happens on device)."""
+    img = (
+        path_or_img
+        if isinstance(path_or_img, Image.Image)
+        else Image.open(path_or_img)
+    )
+    img = img.convert("RGB")
+    img = center_crop(resize_shorter(img, resize), img_size)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def load_image_normalized(path_or_img, img_size: int = DEFAULT_IMG_SIZE) -> np.ndarray:
+    """Full reference transform on host -> HWC float32 (parity/debug path)."""
+    arr = load_image_uint8(path_or_img, img_size).astype(np.float32) / 255.0
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return (arr - mean) / std
+
+
+def normalize_uint8(
+    x: jnp.ndarray, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """uint8 NHWC [0,255] -> normalized float NHWC, on device.
+
+    Folds /255 into the per-channel affine so it is a single fused
+    multiply-add: ``x * (1/(255*std)) - mean/std``.
+    """
+    scale = (1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))).astype(np.float32)
+    shift = (
+        np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
+    ).astype(np.float32)
+    return (x.astype(dtype) * jnp.asarray(scale, dtype) - jnp.asarray(shift, dtype))
+
+
+def denormalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized float NHWC -> [0,1] float NHWC (for overlays/exports)."""
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return jnp.clip(x * std + mean, 0.0, 1.0)
+
+
+def normalize01(x: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float NHWC -> ImageNet-normalized (style-transfer pixel path)."""
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x - mean) / std

@@ -1,0 +1,22 @@
+"""Test harness config: force CPU backend with 8 virtual devices so sharding
+tests run anywhere (no TPU needed for correctness, SURVEY.md section 4)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+
+import heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu as _pkg  # noqa: E402
+
+_pkg.config.enable_parity_precision()

@@ -17,6 +17,13 @@ if REPO not in sys.path:
 
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize force-updates jax_platforms to
+# "axon,cpu" at interpreter start (env JAX_PLATFORMS is ignored); re-force
+# CPU via config so the suite runs on 8 virtual host devices everywhere.
+jax.config.update("jax_platforms", "cpu")
+
 import heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu as _pkg  # noqa: E402
 
 _pkg.config.enable_parity_precision()

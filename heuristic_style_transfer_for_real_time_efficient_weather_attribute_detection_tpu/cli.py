@@ -1,0 +1,374 @@
+"""Unified CLI — one ``weather`` command with the model family as the first
+positional, mirroring the reference's three entry points and flag names
+(test_PM.py:39-122, test_PMG.py:35-82, test_RTM.py:20-80).
+
+Modes: classifier, benchmark, inference, folder, watch_folder, camera, tsne,
+tsne_interactive, clustering (+ --style_transfer epilogue for PMG and
+Grad-CAM / Integrated-Gradients options).
+
+Examples:
+  python weather.py pmg --mode classifier --data ds.json \\
+      --build_classifier configs/tasks.json --model_path best_model_PMG.pth
+  python weather.py pmg --mode benchmark --model_path ... \\
+      --benchmark_folder bench/ --benchmark_mapping configs/benchmark_mapping.json
+  python weather.py rtm --mode folder --test_images_folder imgs/ ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict
+
+MODES = [
+    "classifier", "tsne", "tsne_interactive", "clustering", "camera",
+    "benchmark", "folder", "watch_folder", "inference",
+]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="weather",
+        description="TPU-native multi-task weather attribute detection",
+    )
+    p.add_argument("family", choices=["pm", "pmg", "rtm"], help="model family")
+    p.add_argument("--data", type=str, help="dataset manifest JSON")
+    p.add_argument("--build_classifier", type=str, required=True,
+                   help="tasks/classes registry JSON")
+    p.add_argument("--model_path", type=str, default=None,
+                   help=".pth / .npz checkpoint (omit for random init)")
+    p.add_argument("--config_path", type=str, default=None, help="hparams JSON")
+    p.add_argument("--mode", choices=MODES, default="classifier")
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--save_dir", default="results", type=str)
+    p.add_argument("--prob_threshold", default=0.5, type=float)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--measure_time", action="store_true")
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--count_params", action="store_true")
+    p.add_argument("--search_folder", type=str, default=None)
+    p.add_argument("--find_images_by_sub_folder", type=str, default=None)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--parity_precision", action="store_true",
+                   help="full-f32 matmuls (bit-parity with the torch reference)")
+    # explainability
+    p.add_argument("--visualize_gradcam", action="store_true")
+    p.add_argument("--save_gradcam_images", action="store_true")
+    p.add_argument("--gradcam_task", type=str, default=None)
+    p.add_argument("--colormap", type=str, default="hot")
+    p.add_argument("--integrated_gradients", action="store_true")
+    # inference/folder
+    p.add_argument("--image_folder", type=str)
+    p.add_argument("--test_images_folder", type=str)
+    p.add_argument("--target_task", type=str, default=None)
+    p.add_argument("--save_test_images", action="store_true")
+    # watch mode
+    p.add_argument("--watch_folders", type=str, default=None,
+                   help="comma-separated folders")
+    p.add_argument("--poll_intervals", type=str, default=None,
+                   help="comma-separated seconds")
+    p.add_argument("--save_dir_to_canon", default=None, type=str)
+    p.add_argument("--truth_mapping", type=str, default=None,
+                   help="sensor truth-rule JSON (rolling service metrics)")
+    p.add_argument("--annotations_folder", type=str, default=None)
+    p.add_argument("--metrics_every", type=int, default=10)
+    # camera
+    p.add_argument("--camera_index", type=int, default=0)
+    p.add_argument("--kalman_filter", action="store_true")
+    p.add_argument("--save_camera_video", action="store_true")
+    p.add_argument("--video_path", type=str, default=None,
+                   help="use a video file instead of the webcam")
+    p.add_argument("--no_display", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    # benchmark
+    p.add_argument("--benchmark_folder", type=str)
+    p.add_argument("--benchmark_mapping", type=str)
+    p.add_argument("--roc_output", type=str, default="roc_curves")
+    p.add_argument("--auto_mapping", action="store_true")
+    # tsne / clustering
+    p.add_argument("--per_task_tsne", action="store_true")
+    p.add_argument("--colors", nargs="+", default=None)
+    p.add_argument("--embedding_kind", choices=["logits", "task", "shared", "pooled"],
+                   default=None, help="embedding tap (default: family-native)")
+    p.add_argument("--clustering_class", type=str)
+    p.add_argument("--clustering_task", type=str, default=None)
+    p.add_argument("--min_cluster_size", type=int, nargs="+", default=[10, 15, 20])
+    p.add_argument("--min_samples", type=int, nargs="+", default=[5, 10])
+    # style transfer (PMG)
+    p.add_argument("--style_transfer", action="store_true")
+    p.add_argument("--target_loss", type=float, default=1e-18)
+    p.add_argument("--style_iterations", type=int, default=300)
+    p.add_argument("--lr", type=float, default=0.0005)
+    p.add_argument("--init_type", type=str, default="noise")
+    # RTM architecture flags
+    p.add_argument("--no_attention", action="store_true")
+    p.add_argument("--attn_token_dim", type=int, default=None)
+    p.add_argument("--cls_hidden_dims", type=int, nargs="*", default=[])
+    p.add_argument("--cls_num_layers", type=int, default=0)
+    return p
+
+
+def build_engine(args) -> "Any":
+    import jax
+    import jax.numpy as jnp
+
+    from .config import load_hparams, load_tasks
+    from .engine import checkpoint
+    from .engine.executor import Engine
+    from .models import get_family
+    from .utils.reporting import print_model_parameters
+
+    if args.parity_precision:
+        from .config import enable_parity_precision
+
+        enable_parity_precision()
+
+    tasks = load_tasks(args.build_classifier)
+    print(f"Tasks: {len(tasks)} -> {list(tasks)}")
+    hparams: Dict[str, Any] = load_hparams(args.config_path, args.model_path)
+
+    state = None
+    if args.model_path:
+        state = checkpoint.load_state_dict(args.model_path)
+    if args.family == "pm" and state is not None:
+        # SE auto-probe overrides config (test_PM.py:149-150).
+        hparams["attn_use_se"] = checkpoint.checkpoint_has_se(state)
+    if args.family == "rtm":
+        hparams.setdefault("use_attention", not args.no_attention)
+        if args.attn_token_dim is not None:
+            hparams.setdefault("attn_token_dim", args.attn_token_dim)
+        hparams.setdefault("cls_hidden_dims", args.cls_hidden_dims)
+        hparams.setdefault("cls_num_layers", args.cls_num_layers)
+
+    mod = get_family(args.family)
+    spec = mod.build_spec(tasks, hparams)
+    if state is not None:
+        params = checkpoint.convert(args.family, state, spec)
+        print(f"Model loaded from {args.model_path}")
+    else:
+        print("[WARN] no --model_path: random initialization")
+        params = mod.init(jax.random.PRNGKey(0), spec)
+
+    if args.count_params:
+        print_model_parameters(args.family, params, spec)
+
+    return Engine(
+        args.family,
+        spec,
+        params,
+        batch_size=args.batch_size,
+        prob_threshold=args.prob_threshold,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def make_loader(args, engine):
+    from .data import BatchLoader, MultiTaskDataset
+
+    if not args.data:
+        raise ValueError("--data is required for this mode.")
+    ds = MultiTaskDataset(
+        args.data,
+        args.build_classifier,
+        search_folder=args.search_folder,
+        find_images_by_sub_folder=args.find_images_by_sub_folder,
+    )
+    ds.subsample(args.num_samples)
+    return ds, BatchLoader(ds, batch_size=args.batch_size, num_workers=args.num_workers)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    engine = build_engine(args)
+    tasks_dict = engine.tasks.as_dict()
+
+    writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=os.path.join(args.save_dir, "TensorBoard"))
+
+    if args.mode == "classifier":
+        from .workloads.evaluate import evaluate
+
+        ds, loader = make_loader(args, engine)
+        evaluate(engine, loader, args.save_dir,
+                 measure_time=args.measure_time, tensorboard_writer=writer)
+
+        if args.visualize_gradcam or args.integrated_gradients:
+            _run_explain(args, engine, ds)
+        if args.style_transfer:
+            _run_style_transfer(args, engine, ds)
+
+    elif args.mode == "benchmark":
+        from .workloads.benchmark import run_benchmark
+
+        if not args.benchmark_folder or not args.benchmark_mapping:
+            raise ValueError("benchmark mode needs --benchmark_folder and --benchmark_mapping")
+        run_benchmark(engine, args.benchmark_folder, args.benchmark_mapping,
+                      args.save_dir, args.roc_output,
+                      auto_mapping=args.auto_mapping, num_samples=args.num_samples,
+                      num_workers=args.num_workers)
+
+    elif args.mode == "inference":
+        from .workloads.inference import run_inference
+
+        folder = args.image_folder or args.test_images_folder
+        if not folder:
+            raise ValueError("inference mode needs --image_folder")
+        run_inference(engine, folder, save_dir=args.save_dir,
+                      num_samples=args.num_samples,
+                      save_test_images=args.save_test_images,
+                      num_workers=args.num_workers)
+
+    elif args.mode == "folder":
+        from .workloads.inference import test_folder_predictions
+
+        folder = args.test_images_folder or args.image_folder
+        if not folder:
+            raise ValueError("folder mode needs --test_images_folder")
+        test_folder_predictions(engine, folder, args.save_dir,
+                                save_test_images=args.save_test_images,
+                                target_task=args.target_task,
+                                num_workers=args.num_workers)
+
+    elif args.mode == "watch_folder":
+        from .workloads.inference import WatchFolderService
+
+        if not args.watch_folders:
+            raise ValueError("watch_folder mode needs --watch_folders")
+        folders = [f for f in args.watch_folders.split(",") if f]
+        intervals = (
+            [float(x) for x in args.poll_intervals.split(",")]
+            if args.poll_intervals
+            else [5.0] * len(folders)
+        )
+        svc = WatchFolderService(
+            engine, folders, intervals, args.save_dir,
+            save_dir_to_canon=args.save_dir_to_canon,
+            truth_mapping_path=args.truth_mapping,
+            annotations_folder=args.annotations_folder,
+            metrics_every=args.metrics_every,
+        )
+        svc.start(block=True)
+
+    elif args.mode == "camera":
+        from .workloads.stream import run_camera
+
+        run_camera(args.family, engine.spec, engine.params, args.save_dir,
+                   prob_threshold=args.prob_threshold,
+                   measure_time=args.measure_time,
+                   camera_index=args.camera_index,
+                   kalman_filter=args.kalman_filter,
+                   save_camera_video=args.save_camera_video,
+                   video_path=args.video_path,
+                   display=not args.no_display,
+                   max_frames=args.max_frames)
+
+    elif args.mode in ("tsne", "tsne_interactive"):
+        from .workloads.embed import compute_embeddings, export_interactive_html, perform_tsne
+
+        ds, loader = make_loader(args, engine)
+        kind = args.embedding_kind or {"pmg": "logits", "rtm": "task", "pm": "task"}[args.family]
+        per_task = args.per_task_tsne or args.mode == "tsne_interactive"
+        embs, labs, paths = compute_embeddings(engine, loader, kind=kind, per_task=per_task)
+        if args.mode == "tsne":
+            if per_task:
+                for t in engine.tasks.names:
+                    perform_tsne(embs[t], labs[t], tasks_dict[t], args.colors,
+                                 args.save_dir, t)
+            else:
+                first = engine.tasks.names[0]
+                perform_tsne(embs, labs, tasks_dict[first], args.colors,
+                             args.save_dir, "AllTasks")
+        else:
+            x2d = {}
+            for t in engine.tasks.names:
+                x2d[t], _ = perform_tsne(embs[t], labs[t], tasks_dict[t],
+                                         args.colors, args.save_dir, t)
+            export_interactive_html(
+                x2d, labs, tasks_dict, paths,
+                os.path.join(args.save_dir, "tsne_interactive.html"),
+            )
+
+    elif args.mode == "clustering":
+        from .workloads.embed import clustering_mode
+
+        if not args.clustering_class:
+            raise ValueError("clustering mode needs --clustering_class")
+        ds, loader = make_loader(args, engine)
+        task = args.clustering_task or engine.tasks.names[0]
+        kind = args.embedding_kind or {"pmg": "logits", "rtm": "task", "pm": "task"}[args.family]
+        clustering_mode(engine, loader, task, args.clustering_class, args.save_dir,
+                        args.min_cluster_size, args.min_samples, kind=kind)
+
+    if writer:
+        writer.close()
+    return 0
+
+
+def _run_explain(args, engine, ds):
+    from .workloads.explain import Explainer, ig_heatmap, overlay_cam, save_gradcam_batch
+    from .data import BatchLoader
+
+    explainer = Explainer(args.family, engine.spec, engine.params)
+    task = args.gradcam_task or engine.tasks.names[0]
+    if task not in engine.tasks.names:
+        print(f"[GradCAM] Task '{task}' not in registry -> disabled.")
+        return
+    loader = BatchLoader(ds, batch_size=args.batch_size, num_workers=args.num_workers)
+    gradcam_dir = os.path.join(args.save_dir, "gradcam")
+    ig_dir = os.path.join(args.save_dir, "integrated_gradients")
+    for bi, (images, labels, paths) in enumerate(loader):
+        if args.visualize_gradcam and args.save_gradcam_images:
+            save_gradcam_batch(explainer, images, labels, task, gradcam_dir,
+                               batch_idx=bi, cmap=args.colormap)
+        if args.integrated_gradients:
+            import cv2
+
+            os.makedirs(ig_dir, exist_ok=True)
+            _, logits = explainer.gradcam(images, task,
+                                          __import__("numpy").zeros(len(images), "int32"))
+            targets = explainer.resolve_targets(task, labels, logits, default_argmax=False)
+            attrs = explainer.integrated_gradients(images, task, targets)
+            for i in range(images.shape[0]):
+                heat = ig_heatmap(attrs[i])
+                over = overlay_cam(images[i], heat, args.colormap)
+                out = os.path.join(ig_dir, f"ig_b{bi:04d}_i{i:03d}_task-{task}.png")
+                cv2.imwrite(out, cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
+
+
+def _run_style_transfer(args, engine, ds):
+    from PIL import Image
+
+    from .ops.preprocess import load_image_normalized
+    from .workloads.style_transfer import run_patch_gram_style_transfer, style_transfer_composite
+
+    if args.family != "pmg":
+        print("[style-transfer] only the PMG family has a Gram trunk; skipping")
+        return
+    out_dir = os.path.join(args.save_dir, "StyleTransfer")
+    os.makedirs(out_dir, exist_ok=True)
+    n = args.num_samples or len(ds)
+    for idx in range(min(n, len(ds))):
+        path = ds.samples[idx][0]
+        base = os.path.splitext(os.path.basename(path))[0]
+        print(f"style transfer {idx + 1}/{n}: {path}")
+        x = load_image_normalized(path)[None]
+        gen, loss, iters = run_patch_gram_style_transfer(
+            engine.params, engine.spec, x,
+            num_iterations=args.style_iterations, lr=args.lr,
+            init_type=args.init_type, target_loss=args.target_loss,
+        )
+        combined = style_transfer_composite(Image.open(path).convert("RGB"), gen)
+        out = os.path.join(out_dir, f"{base}_styled.png")
+        combined.save(out)
+        print(f"saved {out} (loss={loss:.6f}, iters={iters})")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

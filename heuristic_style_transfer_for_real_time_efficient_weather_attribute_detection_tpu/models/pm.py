@@ -170,6 +170,20 @@ def _head_outputs(params: Dict[str, Any], feats: jnp.ndarray, spec: Spec):
     return logits, attn.reshape(b, nt, h, w)
 
 
+def head_apply(
+    params: Dict[str, Any],
+    feats: jnp.ndarray,
+    spec: Spec,
+    capture: Sequence[str] = (),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Task heads from trunk features (Grad-CAM differentiates through this)."""
+    logits, attn = _head_outputs(params, feats, spec)
+    aux: Dict[str, jnp.ndarray] = {}
+    if "attn" in capture:
+        aux["attn"] = attn
+    return logits, aux
+
+
 def apply(
     params: Dict[str, Any],
     x: jnp.ndarray,

@@ -164,6 +164,21 @@ def apply(
     feats = apply_trunk(params["trunk"], x, spec.plan, spec.norm)
     if "features" in capture:
         aux["features"] = feats
+    logits, head_aux = head_apply(params, feats, spec, capture)
+    aux.update(head_aux)
+    return logits, aux
+
+
+def head_apply(
+    params: Dict[str, Any],
+    feats: jnp.ndarray,
+    spec: Spec,
+    capture: Sequence[str] = (),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Everything after the trunk: SE -> chan_proj -> Gram -> transformer ->
+    task pooling -> heads.  Split out so Grad-CAM can differentiate logits
+    w.r.t. trunk features (workloads/explain.py)."""
+    aux: Dict[str, jnp.ndarray] = {}
     h = se_block(feats, params["se"]) if spec.use_channel_attention else feats
     z = conv2d(h, params["chan_proj"])
     tokens = patch_gram_tokens(z, spec.patch_div)

@@ -126,6 +126,25 @@ def _classify(params: Dict[str, Any], h: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def head_apply(
+    params: Dict[str, Any],
+    feats: jnp.ndarray,
+    spec: Spec,
+    capture: Sequence[str] = (),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Attention heads + MLPs from backbone features (Grad-CAM entry)."""
+    b, h, w, c = feats.shape
+    aux: Dict[str, jnp.ndarray] = {}
+    if spec.use_attention:
+        emb = rtm_task_attention(feats.reshape(b, h * w, c), params["attn"])
+    else:
+        shared = jnp.mean(feats, axis=(1, 2))
+        emb = jnp.broadcast_to(shared[:, None, :], (b, len(spec.tasks), c))
+    if "task_embeddings" in capture:
+        aux["task_embeddings"] = emb
+    return _classify(params, emb), aux
+
+
 def apply(
     params: Dict[str, Any],
     x: jnp.ndarray,

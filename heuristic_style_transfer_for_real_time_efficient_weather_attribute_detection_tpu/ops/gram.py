@@ -80,6 +80,13 @@ def style_patch_grams(x: jnp.ndarray, div: int) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     ph, pw = h // div, w // div
+    if ph == 0 or pw == 0:
+        raise ValueError(
+            f"style-transfer patch split needs feature map >= patch_div "
+            f"(got {h}x{w} features, patch_div={div}); the model's padded "
+            f"split handles this, but the reference's unpadded style path "
+            f"cannot (utils/PMG/PMG_style_transfer.py:29-32)"
+        )
     nh, nw = h // ph, w // pw
     v = x.transpose(0, 3, 1, 2)[:, :, : nh * ph, : nw * pw]  # NCHW crop
     v = v.reshape(b, c, nh * nw, ph * pw)  # the reference's exact regroup

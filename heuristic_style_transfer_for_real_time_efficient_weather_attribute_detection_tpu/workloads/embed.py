@@ -1,0 +1,249 @@
+"""Embedding extraction + t-SNE + HDBSCAN clustering.
+
+Unifies the reference's three per-model embedding taps (SURVEY.md 2.4) via
+the models' ``capture`` mechanism:
+
+- ``kind="logits"``   — PMG's tap: per-task logits as embeddings
+                        (utils/tsne_utils.py:54-70),
+- ``kind="task"``     — RTM's per-task attention embeddings / PM's
+                        attention-weighted trunk embeddings
+                        (Functions/RTM_evaluation.py:668-749,
+                        Functions/PM_evaluation.py:30-98),
+- ``kind="shared"``   — GAP trunk embedding (models_RTM.py:95).
+
+t-SNE plotting matches perform_tsne (utils/tsne_utils.py:99-129): seed 42,
+tab20 colors, tsne_<task>.png.  The interactive Tk viewer is replaced by a
+headless, self-contained HTML export (``export_interactive_html``) that works
+without a display; HDBSCAN clustering uses sklearn's implementation (the pip
+``hdbscan`` wheel is the reference's only extra dep here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import IGNORE_INDEX
+from ..engine.executor import Engine
+
+_CAPTURE_FOR_KIND = {
+    "logits": (),
+    "task": ("task_embeddings",),
+    "shared": ("shared_embedding",),
+    "pooled": ("pooled",),
+}
+
+
+def compute_embeddings(
+    engine: Engine, loader, kind: str = "logits", per_task: bool = True
+):
+    """-> (embeddings, labels, paths): per-task dicts when ``per_task`` else
+    single arrays keyed off the first task (reference contract)."""
+    tasks = engine.tasks
+    capture = _CAPTURE_FOR_KIND[kind]
+    embs = {t: [] for t in tasks.names}
+    labs = {t: [] for t in tasks.names}
+    paths: List[str] = []
+
+    for images, labels, batch_paths in loader:
+        res = engine.run(images, labels, collect=("logits",) + capture)
+        paths.extend(batch_paths)
+        for ti, t in enumerate(tasks.names):
+            k = tasks.num_classes[ti]
+            if kind == "logits":
+                e = res["logits"][:, ti, :k]
+            elif kind == "task":
+                e = res["task_embeddings"][:, ti]
+            elif kind == "pooled":
+                e = res["pooled"][:, ti]
+            else:
+                e = res["shared_embedding"]
+            embs[t].append(e)
+            if labels is not None:
+                labs[t].extend(labels[:, ti].tolist())
+
+    out_e = {
+        t: (np.concatenate(v) if v else np.empty((0, 0))) for t, v in embs.items()
+    }
+    out_l = {t: np.asarray(v) for t, v in labs.items()}
+    if per_task:
+        return out_e, out_l, {t: list(paths) for t in tasks.names}
+    first = tasks.names[0]
+    return out_e[first], out_l[first], list(paths)
+
+
+def perform_tsne(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    class_list: Sequence[str],
+    colors: Optional[Sequence[str]],
+    results_dir: str,
+    task_name: str,
+    seed: int = 42,
+) -> Tuple[np.ndarray, str]:
+    """sklearn TSNE -> scatter PNG (reference naming/colors), returns (X2d, path)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+
+    n = embeddings.shape[0]
+    perplexity = min(30.0, max(1.0, (n - 1) / 3.0))
+    tsne = TSNE(n_components=2, random_state=seed, perplexity=perplexity)
+    x2d = tsne.fit_transform(embeddings)
+    plt.figure(figsize=(10, 10))
+    uniq = np.unique(labels) if labels.size else np.array([])
+    ncls = max(len(uniq), 1)
+    if colors and len(colors) >= ncls:
+        cmap = {lbl: colors[i] for i, lbl in enumerate(uniq)}
+    else:
+        base = plt.get_cmap("tab20", ncls)
+        cmap = {lbl: base(i / ncls) for i, lbl in enumerate(uniq)}
+    for lbl in uniq:
+        m = labels == lbl
+        name = (
+            class_list[lbl] if 0 <= lbl < len(class_list) else "Unknown"
+        )
+        plt.scatter(x2d[m, 0], x2d[m, 1], label=name, color=cmap[lbl])
+    if uniq.size:
+        plt.legend()
+    os.makedirs(results_dir, exist_ok=True)
+    out = os.path.join(results_dir, f"tsne_{task_name.replace(' ', '_')}.png")
+    plt.savefig(out)
+    plt.close()
+    print(f"t-SNE figure saved to {out}")
+    return x2d, out
+
+
+def export_interactive_html(
+    per_task_x2d: Dict[str, np.ndarray],
+    per_task_labels: Dict[str, np.ndarray],
+    tasks_dict: Dict[str, List[str]],
+    paths: Dict[str, List[str]],
+    out_path: str,
+) -> str:
+    """Headless replacement for the Tkinter viewer (utils/tsne_utils.py:131-468):
+    one self-contained HTML with a task dropdown, canvas scatter, hover path
+    display and click-to-copy — no display server needed."""
+    payload = {
+        t: {
+            "xy": np.asarray(x2d, np.float32).round(3).tolist(),
+            "labels": per_task_labels[t].tolist(),
+            "classes": tasks_dict[t],
+            "paths": paths.get(t, []),
+        }
+        for t, x2d in per_task_x2d.items()
+    }
+    html = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'><title>t-SNE</title>"
+        "<style>body{font-family:sans-serif}#c{border:1px solid #888}</style>"
+        "</head><body><select id='task'></select> <span id='info'></span><br>"
+        "<canvas id='c' width='900' height='900'></canvas>"
+        "<script>const DATA=" + json.dumps(payload) + ";\n"
+        + """
+const sel=document.getElementById('task'),cv=document.getElementById('c'),
+ctx=cv.getContext('2d'),info=document.getElementById('info');
+const PAL=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd','#8c564b',
+'#e377c2','#7f7f7f','#bcbd22','#17becf'];
+Object.keys(DATA).forEach(t=>{const o=document.createElement('option');
+o.value=t;o.textContent=t;sel.appendChild(o);});
+let pts=[];
+function draw(){const d=DATA[sel.value];ctx.clearRect(0,0,900,900);pts=[];
+if(!d.xy.length)return;
+const xs=d.xy.map(p=>p[0]),ys=d.xy.map(p=>p[1]);
+const x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);
+d.xy.forEach((p,i)=>{const x=30+840*(p[0]-x0)/((x1-x0)||1),
+y=30+840*(p[1]-y0)/((y1-y0)||1),l=d.labels[i];
+ctx.fillStyle=l>=0?PAL[l%PAL.length]:'#000';
+ctx.beginPath();ctx.arc(x,y,4,0,6.3);ctx.fill();pts.push([x,y,i]);});
+ctx.font='12px sans-serif';
+d.classes.forEach((c,i)=>{ctx.fillStyle=PAL[i%PAL.length];
+ctx.fillText(c,740,20+14*i);});}
+cv.onmousemove=e=>{const r=cv.getBoundingClientRect(),
+mx=e.clientX-r.left,my=e.clientY-r.top;const d=DATA[sel.value];
+for(const[x,y,i]of pts){if((x-mx)**2+(y-my)**2<25){
+info.textContent=(d.paths[i]||'')+' / '+(d.classes[d.labels[i]]||'Unknown');return;}}
+info.textContent='';};
+cv.onclick=()=>{if(info.textContent)navigator.clipboard&&
+navigator.clipboard.writeText(info.textContent.split(' / ')[0]);};
+sel.onchange=draw;draw();
+</script></body></html>"""
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(html)
+    print(f"interactive t-SNE exported to {out_path}")
+    return out_path
+
+
+def hdbscan_clustering(
+    embeddings: np.ndarray,
+    paths: List[str],
+    min_cluster_sizes: Sequence[int] = (10, 15, 20),
+    min_samples_list: Sequence[int] = (5, 10),
+) -> Dict:
+    """Grid-search HDBSCAN keeping the parameterization with the most
+    clusters (reference test_PM.py:301-366), via sklearn.cluster.HDBSCAN."""
+    from sklearn.cluster import HDBSCAN
+
+    best = {"n_clusters": -1}
+    for mcs in min_cluster_sizes:
+        for ms in min_samples_list:
+            mcs_eff = min(mcs, max(2, embeddings.shape[0]))
+            cl = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms).fit(embeddings)
+            labels = cl.labels_
+            n = len(set(labels.tolist()) - {-1})
+            if n > best["n_clusters"]:
+                best = {
+                    "n_clusters": n,
+                    "min_cluster_size": mcs,
+                    "min_samples": ms,
+                    "labels": labels,
+                }
+    clusters: Dict[str, List[str]] = {}
+    for lbl, path in zip(best.get("labels", []), paths):
+        clusters.setdefault(str(int(lbl)), []).append(path)
+    return {
+        "best_params": {
+            "min_cluster_size": best.get("min_cluster_size"),
+            "min_samples": best.get("min_samples"),
+        },
+        "n_clusters": best["n_clusters"],
+        "clusters": clusters,
+    }
+
+
+def clustering_mode(
+    engine: Engine,
+    loader,
+    task: str,
+    class_name: str,
+    save_dir: str,
+    min_cluster_sizes: Sequence[int] = (10, 15, 20),
+    min_samples_list: Sequence[int] = (5, 10),
+    kind: str = "logits",
+) -> Dict:
+    """One class of one task -> <class>_clustering_results.json with
+    per-cluster image paths (reference test_PM.py:301-366)."""
+    embs, labs, paths = compute_embeddings(engine, loader, kind=kind, per_task=True)
+    ti = engine.tasks.names.index(task)
+    cls_idx = list(engine.tasks.class_names[ti]).index(class_name)
+    mask = labs[task] == cls_idx
+    result = hdbscan_clustering(
+        embs[task][mask],
+        [p for p, m in zip(paths[task], mask) if m],
+        min_cluster_sizes,
+        min_samples_list,
+    )
+    os.makedirs(save_dir, exist_ok=True)
+    out = os.path.join(
+        save_dir, f"{class_name.replace(' ', '_')}_clustering_results.json"
+    )
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"clustering results saved to {out}")
+    return result

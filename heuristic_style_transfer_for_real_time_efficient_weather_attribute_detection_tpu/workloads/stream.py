@@ -1,0 +1,199 @@
+"""Real-time streaming inference (camera / video modes).
+
+Reference: utils/camera_utils.py:17-177 — a synchronous batch=1 loop where
+preprocessing, inference, Kalman smoothing, UI and video writing all share
+one thread.  Here the TPU path is a compiled single-frame step (device-side
+normalize + forward + masked softmax + stacked Kalman update, ONE dispatch
+per frame), and the host loop only decodes/overlays.
+
+Parity features: probability Kalman smoothing (jitted identity-dynamics
+filter, ops/kalman.py — pykalman-default-equivalent), threshold->Unknown
+labels, translucent text box overlay, XVID video recording at 20 FPS,
+per-frame latency telemetry -> times_camera.json.  The Tk control panel is
+replaced by keyboard controls (r=record, f=fullscreen, q=quit) so the mode
+also runs over X-less SSH with --no-display.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TaskSpec
+from ..engine.executor import class_mask, masked_softmax
+from ..models import get_family
+from ..ops import kalman
+from ..ops.preprocess import normalize_uint8
+
+
+class StreamPredictor:
+    """Compiled per-frame predictor with optional fused Kalman smoothing."""
+
+    def __init__(self, family: str, spec, params, use_kalman: bool = False,
+                 dtype=jnp.float32):
+        self.tasks: TaskSpec = spec.tasks
+        self.use_kalman = use_kalman
+        mod = get_family(family)
+        mask = jnp.asarray(class_mask(self.tasks))
+
+        @jax.jit
+        def step(params, frame_u8, kstate):
+            x = normalize_uint8(frame_u8[None], dtype)
+            logits, _ = mod.apply(params, x, spec)
+            probs = masked_softmax(logits.astype(jnp.float32), mask)[0]  # [T,K]
+            kstate, smoothed = kalman.filter_update(kstate, probs)
+            out = smoothed if use_kalman else probs
+            return out, kstate
+
+        self._step = step
+        self.params = params
+        self.kstate = kalman.init_state(len(self.tasks), self.tasks.max_classes)
+
+    def reset(self):
+        self.kstate = kalman.init_state(len(self.tasks), self.tasks.max_classes)
+
+    def __call__(self, frame_u8: np.ndarray) -> np.ndarray:
+        """frame_u8: [H,W,3] uint8 (224px) -> per-task probs [T, Kmax]."""
+        probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
+        return np.asarray(probs)
+
+    def labels(self, probs: np.ndarray, prob_threshold: float):
+        """[(task, label, prob)] with threshold->"Unknown" semantics
+        (camera_utils.py:132-134)."""
+        out = []
+        for ti, t in enumerate(self.tasks.names):
+            k = self.tasks.num_classes[ti]
+            p = probs[ti, :k]
+            idx = int(p.argmax())
+            label = (
+                "Unknown" if p[idx] < prob_threshold
+                else self.tasks.class_names[ti][idx]
+            )
+            out.append((t, label, float(p[idx])))
+        return out
+
+
+def frames_from_capture(cap) -> Iterator[np.ndarray]:
+    """BGR frames from a cv2.VideoCapture until read failure."""
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        yield frame
+
+
+def run_camera(
+    family: str,
+    spec,
+    params,
+    save_dir: str,
+    prob_threshold: float = 0.5,
+    measure_time: bool = False,
+    camera_index: int = 0,
+    kalman_filter: bool = False,
+    save_camera_video: bool = False,
+    video_path: Optional[str] = None,
+    display: bool = True,
+    max_frames: Optional[int] = None,
+    record: bool = False,
+) -> list:
+    """Camera/video streaming loop.  ``video_path`` replaces the webcam with
+    a file (testable headless); returns per-frame latencies."""
+    import cv2
+
+    predictor = StreamPredictor(family, spec, params, use_kalman=kalman_filter)
+    cap = cv2.VideoCapture(video_path if video_path else camera_index)
+    if not cap.isOpened():
+        print("Error: cannot open camera/video source")
+        return []
+
+    os.makedirs(save_dir, exist_ok=True)
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    font_scale, thickness = 1.0, 2
+    y0, y_step, pad_x, pad_y = 40, 40, 10, 10
+    tasks_dict = predictor.tasks.as_dict()
+    sample = [
+        f"{t}: {max(cls + ['Unknown'], key=len)} (1.00)" for t, cls in tasks_dict.items()
+    ]
+    sizes = [cv2.getTextSize(s, font, font_scale, thickness)[0] for s in sample]
+    box_right = max(w for w, _ in sizes) + 2 * pad_x
+    box_top = y0 - max(h for _, h in sizes) - pad_y
+    box_bottom = y0 + (len(tasks_dict) - 1) * y_step + pad_y
+
+    if display:
+        try:
+            cv2.namedWindow("Camera", cv2.WINDOW_NORMAL)
+        except cv2.error:
+            display = False
+
+    recording = record
+    writer = None
+    fullscreen = False
+    times = []
+    n = 0
+    for frame in frames_from_capture(cap):
+        t0 = time.time()
+        small = cv2.resize(frame, (224, 224), interpolation=cv2.INTER_LINEAR)
+        rgb = cv2.cvtColor(small, cv2.COLOR_BGR2RGB)
+        probs = predictor(rgb)
+        times.append(time.time() - t0)
+        lines = [
+            f"{t}: {label} ({p:.2f})"
+            for t, label, p in predictor.labels(probs, prob_threshold)
+        ]
+
+        overlay = frame.copy()
+        cv2.rectangle(overlay, (0, box_top), (box_right, box_bottom),
+                      (255, 255, 255), thickness=-1)
+        cv2.addWeighted(overlay, 0.4, frame, 0.6, 0, frame)
+        for i, line in enumerate(lines):
+            cv2.putText(frame, line, (pad_x, y0 + i * y_step), font, font_scale,
+                        (0, 255, 0), thickness, cv2.LINE_AA)
+
+        if save_camera_video and recording:
+            if writer is None:
+                path = os.path.join(save_dir, f"video_{int(time.time())}.avi")
+                writer = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"XVID"), 20.0,
+                    (frame.shape[1], frame.shape[0]),
+                )
+                print("recording started:", path)
+            writer.write(frame)
+
+        if display:
+            cv2.imshow("Camera", frame)
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
+                break
+            if key == ord("r"):
+                recording = not recording
+                if not recording and writer is not None:
+                    writer.release()
+                    writer = None
+            if key == ord("f"):
+                fullscreen = not fullscreen
+                cv2.setWindowProperty(
+                    "Camera", cv2.WND_PROP_FULLSCREEN,
+                    cv2.WINDOW_FULLSCREEN if fullscreen else cv2.WINDOW_NORMAL,
+                )
+        n += 1
+        if max_frames is not None and n >= max_frames:
+            break
+
+    cap.release()
+    if writer is not None:
+        writer.release()
+    if display:
+        cv2.destroyAllWindows()
+    if measure_time and times:
+        with open(os.path.join(save_dir, "times_camera.json"), "w") as f:
+            json.dump(times, f, indent=2)
+        print(f"mean latency: {np.mean(times):.4f}s - total: {np.sum(times):.1f}s")
+    return times

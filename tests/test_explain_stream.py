@@ -1,0 +1,170 @@
+"""Tests for explainability, style transfer, streaming and Kalman ops."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+from wadt.models import pmg
+
+TINY = dict(
+    ndf=8, patch_size=64, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+TASKS = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+
+
+@pytest.fixture(scope="module")
+def model():
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    return spec, params
+
+
+def test_gradcam_properties(model):
+    from wadt.workloads.explain import Explainer
+
+    spec, params = model
+    ex = Explainer("pmg", spec, params)
+    imgs = np.random.RandomState(0).randint(0, 256, (3, 64, 64, 3), np.uint8)
+    cam, logits = ex.gradcam(imgs, "A", np.array([0, 1, 2], np.int32))
+    assert cam.shape[0] == 3 and cam.ndim == 3
+    assert float(cam.min()) >= 0.0 and float(cam.max()) <= 1.0 + 1e-6
+    assert logits.shape == (3, 2, 3)
+    # target resolution: GT when valid, argmax fallback for IGNORE/-1
+    labels = np.array([[1, -100], [-100, 0], [2, 1]], np.int64)
+    targets = ex.resolve_targets("A", labels, logits)
+    am = logits[:, 0, :3].argmax(-1)
+    assert targets[0] == 1 and targets[2] == 2 and targets[1] == am[1]
+
+
+def test_integrated_gradients_completeness(model):
+    """IG completeness axiom: sum(attributions) ~= f(x) - f(baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.ops.preprocess import normalize_uint8
+    from wadt.workloads.explain import Explainer
+
+    spec, params = model
+    ex = Explainer("pmg", spec, params)
+    imgs = np.random.RandomState(1).randint(0, 256, (2, 64, 64, 3), np.uint8)
+    cls = np.array([0, 1], np.int32)
+    attr = ex.integrated_gradients(imgs, "A", cls, steps=128)
+
+    def logit(z):
+        lg, _ = pmg.apply(params, z, spec)
+        return np.asarray(lg)[:, 0, :3]
+
+    x = np.asarray(normalize_uint8(jnp.asarray(imgs)))
+    fx = logit(x)[np.arange(2), cls]
+    f0 = logit(np.zeros_like(x))[np.arange(2), cls]
+    got = attr.reshape(2, -1).sum(-1)
+    np.testing.assert_allclose(got, fx - f0, rtol=0.08, atol=0.05)
+
+
+def test_style_transfer_loss_decreases(model):
+    from wadt.workloads.style_transfer import run_patch_gram_style_transfer
+
+    spec, params = model
+    style = np.random.RandomState(2).randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    img, loss, iters = run_patch_gram_style_transfer(
+        params, spec, style, num_iterations=15, lr=0.05, target_loss=0.0,
+        log_every=0,
+    )
+    img2, loss2, _ = run_patch_gram_style_transfer(
+        params, spec, style, num_iterations=1, lr=0.05, target_loss=0.0,
+        log_every=0,
+    )
+    assert loss < loss2  # more iterations -> lower style loss
+    assert img.size == (64, 64)
+
+
+def test_kalman_identity_dynamics():
+    """Matches the closed-form pykalman-default recursion; converges to a
+    constant observation."""
+    from wadt.ops import kalman
+
+    st = kalman.init_state(2, 3)
+    obs = np.tile(np.array([[0.7, 0.2, 0.1], [0.5, 0.5, 0.0]], np.float32), (1, 1))
+    means = []
+    for _ in range(30):
+        st, sm = kalman.filter_update(st, obs)
+        means.append(np.asarray(sm))
+    np.testing.assert_allclose(means[-1], obs, atol=1e-3)
+    # manual recursion check, first 3 steps, scalar case
+    m, p = 0.0, 1.0
+    st2 = kalman.init_state(1, 1)
+    for step in range(3):
+        pp = p + 1.0
+        k = pp / (pp + 1.0)
+        m = m + k * (0.7 - m)
+        p = (1 - k) * pp
+        st2, sm2 = kalman.filter_update(st2, np.array([[0.7]], np.float32))
+        assert abs(float(sm2[0, 0]) - m) < 1e-6
+
+
+def test_stream_predictor_and_video(model, tmp_path):
+    import cv2
+
+    from wadt.workloads.stream import StreamPredictor, run_camera
+
+    spec, params = model
+    pred = StreamPredictor("pmg", spec, params, use_kalman=True)
+    frame = np.random.RandomState(0).randint(0, 256, (224, 224, 3), np.uint8)
+    probs = pred(frame)
+    assert probs.shape == (2, 3)
+    labels = pred.labels(probs, prob_threshold=0.99)
+    assert labels[0][1] == "Unknown"  # kalman warmup keeps probs < 0.99
+
+    # headless camera mode over a tiny generated video
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 5.0, (64, 48))
+    rng = np.random.RandomState(1)
+    for _ in range(6):
+        w.write(rng.randint(0, 256, (48, 64, 3), np.uint8))
+    w.release()
+    times = run_camera(
+        "pmg", spec, params, str(tmp_path / "cam"), video_path=vid,
+        display=False, measure_time=True, kalman_filter=True, max_frames=5,
+    )
+    assert len(times) == 5
+    assert os.path.exists(tmp_path / "cam" / "times_camera.json")
+
+
+def test_embeddings_and_tsne(tmp_path, model):
+    from wadt.data import BatchLoader, MultiTaskDataset
+    from wadt.engine.executor import Engine
+    from wadt.workloads.embed import compute_embeddings, export_interactive_html, perform_tsne
+
+    from tools.make_synth_dataset import make as make_synth
+
+    synth = make_synth(str(tmp_path / "synth"), n_per_class=2, size=64)
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    import jax
+
+    spec = pmg.build_spec(json.load(open(os.path.join(synth, "tasks.json"))), TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    eng = Engine("pmg", spec, params, batch_size=4)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    embs, labs, paths = compute_embeddings(eng, loader, kind="logits", per_task=True)
+    assert embs["Weather Type"].shape == (8, 4)
+    assert len(paths["Weather Type"]) == 8
+    x2d, png = perform_tsne(
+        embs["Weather Type"], labs["Weather Type"], ["Clear", "Rain", "Snow", "Fog"],
+        None, str(tmp_path / "viz"), "Weather Type",
+    )
+    assert x2d.shape == (8, 2) and os.path.exists(png)
+    html = export_interactive_html(
+        {"Weather Type": x2d}, {"Weather Type": labs["Weather Type"]},
+        {"Weather Type": ["Clear", "Rain", "Snow", "Fog"]},
+        {"Weather Type": paths["Weather Type"]},
+        str(tmp_path / "viz" / "tsne.html"),
+    )
+    assert os.path.getsize(html) > 1000

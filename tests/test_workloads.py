@@ -1,0 +1,212 @@
+"""Workload-layer integration tests on a tiny synthetic dataset + tiny PMG.
+
+Asserts the reference's artifact schemas (SURVEY.md 2.4): metrics_test.json,
+metrics_test_summary.csv, roc data, inference_results.json,
+folder_predictions.json, benchmark_summary.json, best_mapping.json,
+watch-folder last_prediction.json + prediction_history.csv.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO
+
+import wadt  # noqa: F401
+from wadt.data import BatchLoader, MultiTaskDataset
+from wadt.engine.executor import Engine
+from wadt.models import pmg
+
+from tools.make_synth_dataset import make as make_synth
+
+TINY_HPARAMS = dict(
+    ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    return make_synth(str(out), n_per_class=3, size=96)
+
+
+@pytest.fixture(scope="module")
+def engine(synth):
+    import jax
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    spec = pmg.build_spec(tasks, TINY_HPARAMS)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    return Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0)
+
+
+def test_evaluate_artifacts(synth, engine, tmp_path):
+    from wadt.workloads.evaluate import evaluate
+
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    save = str(tmp_path / "eval")
+    avg_loss, metrics, overall_f1, times = evaluate(
+        engine, loader, save, measure_time=True
+    )
+    assert avg_loss > 0 and len(times) == len(loader)
+    m = json.load(open(os.path.join(save, "metrics_test.json")))
+    assert set(m) == {"test_loss", "overall_f1", "tasks"}
+    for task in engine.tasks.names:
+        tm = m["tasks"][task]
+        assert {"accuracy", "precision", "recall", "f1_score",
+                "confusion_matrix", "auc_macro", "auc_micro",
+                "auc_per_class", "roc_png", "class_names"} <= set(tm)
+    assert os.path.exists(os.path.join(save, "metrics_test_summary.csv"))
+    assert os.path.exists(os.path.join(save, "times_classifier.json"))
+    # ROC CSVs exist per task
+    for task in engine.tasks.names:
+        assert os.path.exists(os.path.join(save, "roc", f"{task}_roc_data.csv"))
+
+
+def test_run_inference_schema(synth, engine, tmp_path):
+    from wadt.workloads.inference import run_inference
+
+    save = str(tmp_path / "inf")
+    res = run_inference(engine, os.path.join(synth, "images"), save_dir=save,
+                        save_test_images=True)
+    assert len(res) == 12
+    j = json.load(open(os.path.join(save, "inference_results.json")))
+    first = next(iter(j.values()))
+    for task in engine.tasks.names:
+        assert set(first[task]) == {"predicted_class", "probability"}
+        assert 0.0 <= first[task]["probability"] <= 1.0
+    # annotated copies mirror the tree
+    assert any(f.endswith(".jpg") for _, _, fs in os.walk(save) for f in fs)
+
+
+def test_folder_predictions_schema(synth, engine, tmp_path):
+    from wadt.workloads.inference import test_folder_predictions
+
+    save = str(tmp_path / "folder")
+    res = test_folder_predictions(engine, os.path.join(synth, "images"), save)
+    assert set(res) == set(engine.tasks.names)
+    for t, d in res.items():
+        assert set(d) == {"by_class", "f1_score", "global_f1"}
+        assert set(d["by_class"]) == set(engine.tasks.classes(t))
+    assert os.path.exists(os.path.join(save, "all_predictions.json"))
+
+
+def test_benchmark_mode(synth, engine, tmp_path):
+    from wadt.workloads.benchmark import run_benchmark
+
+    save = str(tmp_path / "bench")
+    summary = run_benchmark(
+        engine,
+        os.path.join(synth, "images"),
+        os.path.join(synth, "mapping.json"),
+        save,
+        os.path.join(save, "roc"),
+        auto_mapping=False,
+    )
+    assert "Weather Type" in summary
+    s = summary["Weather Type"]
+    assert s["n_samples"] == 12
+    assert set(s["per_class"]) == {"precision", "recall", "f1_score", "auc"}
+    assert set(s["global"]) == {"precision_macro", "recall_macro", "f1_macro", "auc_macro"}
+    bm = json.load(open(os.path.join(save, "best_mapping.json")))
+    assert set(bm["Weather Type"]) == {"sun", "rain", "snow", "fog"}
+    # every model class appears exactly once across the mapping
+    mapped = [c for lst in bm["Weather Type"].values() for c in lst]
+    assert sorted(mapped) == sorted(engine.tasks.classes("Weather Type"))
+
+
+def test_benchmark_auto_mapping(synth, engine, tmp_path):
+    from wadt.workloads.benchmark import run_benchmark
+
+    save = str(tmp_path / "bench_auto")
+    summary = run_benchmark(
+        engine,
+        os.path.join(synth, "images"),
+        os.path.join(synth, "mapping.json"),
+        save,
+        os.path.join(save, "roc"),
+        auto_mapping=True,
+    )
+    assert os.path.exists(os.path.join(save, "best_mapping.json"))
+    assert "Weather Type" in summary
+
+
+def test_auto_map_matches_exhaustive():
+    """Coordinate-ascent auto-map must equal brute force on random instances."""
+    from wadt.workloads.benchmark import EXHAUSTIVE_LIMIT, _macro_f1_from_assignment, auto_map_task
+    import itertools
+    import wadt.workloads.benchmark as bench
+
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        M, B = rng.randint(2, 6), rng.randint(2, 4)
+        C = rng.randint(0, 20, size=(M, B))
+        # exhaustive truth
+        best = max(
+            (_macro_f1_from_assignment(C, v, B) for v in itertools.product(range(B), repeat=M))
+        )
+        # force the heuristic path
+        old = bench.EXHAUSTIVE_LIMIT
+        bench.EXHAUSTIVE_LIMIT = 0
+        try:
+            _, score = auto_map_task(C)
+        finally:
+            bench.EXHAUSTIVE_LIMIT = old
+        assert score >= best - 1e-9, (trial, score, best)
+
+
+def test_watch_folder_service(synth, engine, tmp_path):
+    from wadt.workloads.inference import WatchFolderService
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    save = tmp_path / "watch_out"
+    svc = WatchFolderService(engine, [str(watch)], [0.1], str(save))
+    svc.start(block=False)
+    # drop a timestamped frame
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8)
+    )
+    img.save(watch / "2026-08-16_12-00-00.jpg")
+    sub = save / "watch"
+    deadline = time.time() + 20
+    while time.time() < deadline and not (sub / "last_prediction.json").exists():
+        time.sleep(0.2)
+    svc.stop()
+    assert (sub / "last_prediction.json").exists()
+    j = json.load(open(sub / "last_prediction.json"))
+    assert j["timestamp"] == "2026-08-16_12-00-00"
+    assert set(j["prediction"]) == set(engine.tasks.names)
+    assert (sub / "prediction_history.csv").exists()
+    # ignores non-timestamp names
+    img.save(watch / "notatimestamp.jpg")
+    time.sleep(0.3)
+
+
+def test_sensor_truth_rules():
+    from wadt.workloads.inference import derive_truth
+
+    rules = {
+        "Weather Type": {
+            "default": "Clear",
+            "rules": [
+                {"class": "Rain", "when": [{"sensor": "rain_mm", "op": "gt", "value": 0.5}]},
+                {"class": "Fog", "when": [{"sensor": "visibility_m", "op": "lt", "value": 200},
+                                           {"sensor": "rain_mm", "op": "lte", "value": 0.5}]},
+            ],
+        }
+    }
+    assert derive_truth(rules, "Weather Type", {"rain_mm": 1.0}) == "Rain"
+    assert derive_truth(rules, "Weather Type", {"rain_mm": 0.0, "visibility_m": 100}) == "Fog"
+    assert derive_truth(rules, "Weather Type", {"rain_mm": 0.0, "visibility_m": 500}) == "Clear"
+    assert derive_truth(rules, "Weather Type", {}) == "Clear"

@@ -2,17 +2,23 @@
 """Headline benchmark: flagship PMG (shipped production config, 12 tasks)
 single-chip sustained inference throughput at 224px.
 
-Protocol: 8 distinct uint8 batches are staged in device HBM, then the jitted
-forward (device-side normalize -> trunk -> patch-Gram -> transformer -> 12
-task heads) is pumped round-robin, pipelined, for ~2s of steady state.
-Device-resident input is the right protocol on this rig: the TPU here sits
-behind a loopback network relay whose host link (~0.1 GB/s, high variance)
-is an environment artifact — real v5e PCIe moves >10 GB/s, far above this
-model's needs.
+Timing protocol — device-side loop with data dependence.  On this rig the
+TPU sits behind a network relay where ``block_until_ready`` can return before
+device execution finishes, so naive dispatch loops overstate throughput by
+>10x (verified: batch-size sweeps came out flat).  Instead we jit ONE program
+that runs the forward N times inside ``lax.fori_loop``, each iteration
+data-dependent on the previous (its output perturbs the next input), and
+fetch a scalar result to the host — the wall-clock then provably contains N
+sequential executions.
 
-Baseline context (BASELINE.md): the reference publishes no numbers; its
-benchmark loop is synchronous batch=1 PyTorch (utils/benchmark_utils.py:
-67-75).  Derived north-star: >1000 images/sec on one TPU v5e chip;
+The input batch is device-resident uint8 (device-side normalize is part of
+the measured forward).  Host->device feeding is excluded: the relay's ~0.1
+GB/s host link is an environment artifact (real v5e PCIe does >10 GB/s,
+far above this model's ~40 MB per batch).
+
+Baseline: the reference publishes no numbers; its benchmark loop is
+synchronous batch=1 PyTorch (utils/benchmark_utils.py:67-75).  Derived
+north-star (BASELINE.md): >1000 images/sec on one TPU v5e chip;
 ``vs_baseline`` = measured / 1000.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -24,44 +30,42 @@ import time
 import numpy as np
 
 BATCH = 512
-N_BUFS = 8
-MIN_SECONDS = 2.0
+INNER = 100  # forwards per device loop
+REPEATS = 4
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as graft
+    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.models import pmg
+    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.ops.preprocess import (
+        normalize_uint8,
+    )
 
-    forward, (params, _) = graft.entry()
-    fwd = jax.jit(forward)
-
+    _, spec, params = graft._flagship()
     rng = np.random.RandomState(0)
-    bufs = [
-        jax.device_put(rng.randint(0, 256, (BATCH, 224, 224, 3), np.uint8))
-        for _ in range(N_BUFS)
-    ]
-    jax.block_until_ready(bufs)
+    imgs = jax.device_put(rng.randint(0, 256, (BATCH, 224, 224, 3), np.uint8))
 
-    # Warmup: compile + a few steady iterations.
-    for i in range(5):
-        out = fwd(params, bufs[i % N_BUFS])
-    jax.block_until_ready(out)
+    def chain_fn(p, u8):
+        def one(i, salt):
+            x = normalize_uint8(u8, jnp.float32) + salt
+            logits, _ = pmg.apply(p, x, spec)
+            return logits[0, 0, 0] * 0.0  # device-side dependence, no host sync
 
-    # Timed: pipelined round-robin until >= MIN_SECONDS of work, synced in
-    # chunks so the dispatch queue stays bounded.
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        for _ in range(50):
-            out = fwd(params, bufs[iters % N_BUFS])
-            iters += 1
-        jax.block_until_ready(out)
-        if time.perf_counter() - t0 >= MIN_SECONDS:
-            break
-    dt = time.perf_counter() - t0
+        return jax.lax.fori_loop(0, INNER, one, jnp.float32(0))
 
-    ips = BATCH * iters / dt
+    chain = jax.jit(chain_fn)
+    float(chain(params, imgs))  # compile + first run
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(chain(params, imgs))  # scalar fetch = true completion barrier
+        best = min(best, (time.perf_counter() - t0) / INNER)
+
+    ips = BATCH / best
     print(
         json.dumps(
             {

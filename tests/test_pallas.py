@@ -1,0 +1,53 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+the CPU backend; the TPU-compiled path is exercised by bench_kernels.py)."""
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+
+
+def test_gram_kernel_matches_reference():
+    import jax.numpy as jnp
+
+    from wadt.ops.gram import patch_gram_tokens
+    from wadt.ops.pallas_kernels import patch_gram_tokens_pallas
+
+    rng = np.random.RandomState(0)
+    for (h, w, c, div) in [(14, 14, 96, 3), (8, 8, 32, 4), (7, 5, 16, 2)]:
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        want = np.asarray(patch_gram_tokens(x, div))
+        got = np.asarray(patch_gram_tokens_pallas(x, div, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5, err_msg=str((h, w, c, div)))
+
+
+def test_fused_stem_matches_reference():
+    import jax.numpy as jnp
+
+    from wadt.config import IMAGENET_MEAN, IMAGENET_STD
+    from wadt.ops.nn import conv2d, leaky_relu
+    from wadt.ops.norms import batch_norm_infer
+    from wadt.ops.pallas_kernels import fused_stem
+    from wadt.ops.preprocess import normalize_uint8
+
+    rng = np.random.RandomState(1)
+    b, h, k, cout = 2, 32, 4, 16
+    imgs = rng.randint(0, 256, (b, h, h, 3), np.uint8)
+    conv_w = jnp.asarray(rng.randn(k, k, 3, cout).astype(np.float32) * 0.1)
+    bn = {
+        "scale": jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1),
+        "mean": jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1),
+        "var": jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5),
+    }
+    # reference path: normalize -> conv -> bn(infer) -> lrelu
+    x = normalize_uint8(jnp.asarray(imgs))
+    want = leaky_relu(batch_norm_infer(conv2d(x, {"w": conv_w}, stride=k), bn), 0.2)
+
+    inv = bn["scale"] / jnp.sqrt(bn["var"] + 1e-5)
+    scale, shift = inv, bn["bias"] - bn["mean"] * inv
+    got = fused_stem(
+        jnp.asarray(imgs), conv_w, scale, shift,
+        IMAGENET_MEAN, IMAGENET_STD, stride=k, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)

@@ -1,0 +1,126 @@
+"""Sharded execution tests on the 8-virtual-device CPU mesh: data-parallel
+engine, dp+tp training step, Orbax native checkpoint round-trip, and the
+driver contract (dryrun_multichip)."""
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+from wadt.models import pmg
+
+TINY = dict(
+    ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+TASKS = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+
+
+def _spec_params():
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    return spec, pmg.init(jax.random.PRNGKey(0), spec)
+
+
+def test_engine_data_parallel_matches_single_device():
+    import jax
+
+    from wadt.engine.executor import Engine
+    from wadt.parallel.mesh import make_mesh
+
+    spec, params = _spec_params()
+    imgs = np.random.RandomState(0).randint(0, 256, (16, 32, 32, 3), np.uint8)
+
+    single = Engine("pmg", spec, params, batch_size=16)
+    mesh = make_mesh(8)
+    sharded = Engine("pmg", spec, params, batch_size=16, mesh=mesh)
+    a = single.run(imgs, collect=("logits",))["logits"]
+    b = sharded.run(imgs, collect=("logits",))["logits"]
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_train_step_dp_tp_loss_decreases():
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.config import IGNORE_INDEX
+    from wadt.parallel.mesh import make_mesh
+    from wadt.parallel.train import make_train_step
+
+    spec, _ = _spec_params()
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    init_fn, step_fn = make_train_step("pmg", spec, mesh=mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    images = rng.randn(16, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (16, 2)).astype(np.int32)
+    labels[0, 0] = IGNORE_INDEX
+
+    losses = []
+    for _ in range(8):
+        state, loss = step_fn(state, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    # task-axis tensors actually sharded over 'model'
+    sh = state.params["queries"].sharding
+    assert sh.spec[0] == "model"
+
+
+def test_train_matches_unsharded():
+    """Same seed, same data: sharded and unsharded training must agree."""
+    import jax
+
+    from wadt.parallel.mesh import make_mesh
+    from wadt.parallel.train import make_train_step
+
+    spec, _ = _spec_params()
+    rng = np.random.RandomState(1)
+    images = rng.randn(8, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+
+    results = []
+    for mesh in (None, make_mesh(8, axes=("data", "model"), shape=(4, 2))):
+        init_fn, step_fn = make_train_step("pmg", spec, mesh=mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        for _ in range(3):
+            state, loss = step_fn(state, images, labels)
+        results.append(float(loss))
+    assert abs(results[0] - results[1]) < 1e-4, results
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax
+
+    from wadt.engine import checkpoint
+
+    spec, params = _spec_params()
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_native(params, path)
+    restored = checkpoint.load_native(path, like=params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # inference equality
+    x = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    la, _ = pmg.apply(params, x, spec)
+    lb, _ = pmg.apply(restored, x, spec)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_graft_dryrun_contract():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)  # must not raise
+
+
+def test_graft_entry_compiles():
+    import jax
+
+    import __graft_entry__ as graft
+
+    fn, (params, imgs) = graft.entry()
+    out = jax.jit(fn)(params, imgs)
+    assert out.shape == (imgs.shape[0], 12, 8)

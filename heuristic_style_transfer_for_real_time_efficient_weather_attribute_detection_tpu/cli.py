@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--search_folder", type=str, default=None)
     p.add_argument("--find_images_by_sub_folder", type=str, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace (classifier mode)")
+    p.add_argument("--export_torch", type=str, default=None,
+                   help="export the (converted) params as a reference-loadable .pth")
+    p.add_argument("--save_pred_images", action="store_true",
+                   help="benchmark mode: GT/Pred green-red annotated overlays")
     p.add_argument("--parity_precision", action="store_true",
                    help="full-f32 matmuls (bit-parity with the torch reference)")
     # explainability
@@ -154,6 +160,9 @@ def build_engine(args) -> "Any":
 
     if args.count_params:
         print_model_parameters(args.family, params, spec)
+    if args.export_torch:
+        checkpoint.save_torch_checkpoint(args.family, params, spec, args.export_torch)
+        print(f"exported torch-format checkpoint to {args.export_torch}")
 
     return Engine(
         args.family,
@@ -197,7 +206,8 @@ def main(argv=None) -> int:
 
         ds, loader = make_loader(args, engine)
         evaluate(engine, loader, args.save_dir,
-                 measure_time=args.measure_time, tensorboard_writer=writer)
+                 measure_time=args.measure_time, tensorboard_writer=writer,
+                 save_test_images=args.save_test_images, profile=args.profile)
 
         if args.visualize_gradcam or args.integrated_gradients:
             _run_explain(args, engine, ds)
@@ -212,7 +222,8 @@ def main(argv=None) -> int:
         run_benchmark(engine, args.benchmark_folder, args.benchmark_mapping,
                       args.save_dir, args.roc_output,
                       auto_mapping=args.auto_mapping, num_samples=args.num_samples,
-                      num_workers=args.num_workers)
+                      num_workers=args.num_workers,
+                      save_pred_images=args.save_pred_images)
 
     elif args.mode == "inference":
         from .workloads.inference import run_inference

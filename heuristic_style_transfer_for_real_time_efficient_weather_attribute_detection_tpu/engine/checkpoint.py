@@ -374,6 +374,160 @@ def convert_rtm(
 
 
 # ---------------------------------------------------------------------------
+# Reverse conversion: pytree -> torch-format state dict (interop/export)
+# ---------------------------------------------------------------------------
+
+
+def _np(x) -> Array:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _export_conv(p) -> Array:
+    return np.transpose(_np(p["w"]), (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _export_norm(out: StateDict, prefix: str, p, kind: str) -> None:
+    out[f"{prefix}.weight"] = _np(p["scale"])
+    out[f"{prefix}.bias"] = _np(p["bias"])
+    if kind == "batch":
+        out[f"{prefix}.running_mean"] = _np(p["mean"])
+        out[f"{prefix}.running_var"] = _np(p["var"])
+        out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_pmg(params, spec: pmg_mod.Spec) -> StateDict:
+    """Inverse of convert_pmg — produces the reference's exact key schema so
+    exported checkpoints load into the PyTorch reference unmodified."""
+    t = spec.tasks
+    out: StateDict = {}
+    for i, lp in enumerate(params["trunk"]):
+        out[f"feature_extractor.{3 * i}.weight"] = _export_conv(lp["conv"])
+        _export_norm(out, f"feature_extractor.{3 * i + 1}", lp["norm"], spec.norm)
+    if spec.use_channel_attention and "se" in params:
+        out["se.fc.0.weight"] = _np(params["se"]["fc1"]["w"]).T
+        out["se.fc.2.weight"] = _np(params["se"]["fc2"]["w"]).T
+    out["chan_proj.weight"] = _export_conv(params["chan_proj"])
+    out["token_proj.weight"] = _np(params["token_proj"]["w"]).T
+    out["token_proj.bias"] = _np(params["token_proj"]["b"])
+    if spec.has_transformer:
+        for li, lp in enumerate(params["transformer"]):
+            pre = f"transformer.encoder.layers.{li}"
+            a = lp["attn"]
+            out[f"{pre}.self_attn.in_proj_weight"] = np.concatenate(
+                [_np(a["wq"]).T, _np(a["wk"]).T, _np(a["wv"]).T], axis=0
+            )
+            out[f"{pre}.self_attn.in_proj_bias"] = np.concatenate(
+                [_np(a["bq"]), _np(a["bk"]), _np(a["bv"])]
+            )
+            out[f"{pre}.self_attn.out_proj.weight"] = _np(a["wo"]).T
+            out[f"{pre}.self_attn.out_proj.bias"] = _np(a["bo"])
+            out[f"{pre}.norm1.weight"] = _np(lp["norm1"]["scale"])
+            out[f"{pre}.norm1.bias"] = _np(lp["norm1"]["bias"])
+            out[f"{pre}.norm2.weight"] = _np(lp["norm2"]["scale"])
+            out[f"{pre}.norm2.bias"] = _np(lp["norm2"]["bias"])
+            out[f"{pre}.linear1.weight"] = _np(lp["ffn1"]["w"]).T
+            out[f"{pre}.linear1.bias"] = _np(lp["ffn1"]["b"])
+            out[f"{pre}.linear2.weight"] = _np(lp["ffn2"]["w"]).T
+            out[f"{pre}.linear2.bias"] = _np(lp["ffn2"]["b"])
+    q = _np(params["queries"])
+    hw, hb = _np(params["heads"]["w"]), _np(params["heads"]["b"])
+    for i, name in enumerate(t.names):
+        k = t.num_classes[i]
+        out[f"task_pool.query.{name}"] = q[i]
+        out[f"classifiers.{name}.weight"] = hw[i, :, :k].T
+        out[f"classifiers.{name}.bias"] = hb[i, :k]
+    return out
+
+
+def export_pm(params, spec: pm_mod.Spec) -> StateDict:
+    t = spec.tasks
+    out: StateDict = {}
+    for i, lp in enumerate(params["trunk"]):
+        out[f"trunk.{3 * i}.weight"] = _export_conv(lp["conv"])
+        if "b" in lp["conv"]:
+            out[f"trunk.{3 * i}.bias"] = _np(lp["conv"]["b"])
+        _export_norm(out, f"trunk.{3 * i + 1}", lp["norm"], spec.norm)
+    hp = params["heads"]
+    for i, name in enumerate(t.names):
+        pre = f"task_heads.{name}"
+        k = t.num_classes[i]
+        if spec.attn_use_se:
+            out[f"{pre}.se.mlp.0.weight"] = _np(hp["se1_w"][i]).T
+            out[f"{pre}.se.mlp.0.bias"] = _np(hp["se1_b"][i])
+            out[f"{pre}.se.mlp.2.weight"] = _np(hp["se2_w"][i]).T
+            out[f"{pre}.se.mlp.2.bias"] = _np(hp["se2_b"][i])
+        out[f"{pre}.attn_conv.weight"] = _np(hp["attn_w"][i])[None, :, None, None]
+        out[f"{pre}.attn_conv.bias"] = _np(hp["attn_b"][i])[None]
+        out[f"{pre}.cls_conv.weight"] = _np(hp["cls_w"][i, :, :k]).T[:, :, None, None]
+    return out
+
+
+def export_rtm(params, spec: rtm_mod.Spec) -> StateDict:
+    """Exports with the model's own ``truncated_encoder.<seq>`` naming (what
+    ``torch.save(model.state_dict())`` produces for the reference)."""
+    t = spec.tasks
+    out: StateDict = {}
+    bb = params["backbone"]
+    raw: StateDict = {}
+    raw["conv1.weight"] = _export_conv(bb["conv1"])
+    _export_norm(raw, "bn1", bb["bn1"], "batch")
+    for si in range(len(resnet_mod.STAGES)):
+        name = f"layer{si + 1}"
+        if name not in bb:
+            continue
+        for bi, bp in enumerate(bb[name]):
+            pre = f"{name}.{bi}"
+            for ci in (1, 2, 3):
+                raw[f"{pre}.conv{ci}.weight"] = _export_conv(bp[f"conv{ci}"])
+                _export_norm(raw, f"{pre}.bn{ci}", bp[f"bn{ci}"], "batch")
+            if "downsample" in bp:
+                raw[f"{pre}.downsample.0.weight"] = _export_conv(bp["downsample"]["conv"])
+                _export_norm(raw, f"{pre}.downsample.1", bp["downsample"]["bn"], "batch")
+    for k, v in raw.items():
+        root, _, tail = k.partition(".")
+        out[f"truncated_encoder.{_NAME_TO_SEQ[root]}.{tail}"] = v
+    if spec.use_attention and "attn" in params:
+        a = params["attn"]
+        for i, name in enumerate(t.names):
+            pre = f"attentions.attention_{name.replace(' ', '_')}"
+            out[f"{pre}.q"] = _np(a["q"][i])[None, None, :]
+            out[f"{pre}.proj.weight"] = _np(a["proj_w"][i]).T
+            out[f"{pre}.out.weight"] = _np(a["out_w"][i]).T
+    dims = spec.mlp_dims
+    for i, name in enumerate(t.names):
+        pre = f"classifiers.classifier_{name.replace(' ', '_')}"
+        for li, lp in enumerate(params["mlp"]):
+            out[f"{pre}.{2 * li}.weight"] = _np(lp["w"][i]).T
+            out[f"{pre}.{2 * li}.bias"] = _np(lp["b"][i])
+        k = t.num_classes[i]
+        fin = params["final"]
+        out[f"{pre}.{2 * (len(dims) - 1)}.weight"] = _np(fin["w"][i, :, :k]).T
+        out[f"{pre}.{2 * (len(dims) - 1)}.bias"] = _np(fin["b"][i, :k])
+    return out
+
+
+_EXPORTERS = {"pmg": export_pmg, "pm": export_pm, "rtm": export_rtm}
+
+
+def export_state_dict(family: str, params, spec) -> StateDict:
+    return _EXPORTERS[family.lower()](params, spec)
+
+
+def save_torch_checkpoint(family: str, params, spec, path: str) -> None:
+    """Export a pytree as a reference-loadable ``.pth`` (or ``.npz``)."""
+    state = export_state_dict(family, params, spec)
+    if path.endswith(".npz"):
+        np.savez(path, **state)
+    else:
+        import torch
+
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in state.items()},
+            path,
+        )
+
+
+# ---------------------------------------------------------------------------
 # Family dispatch + native (Orbax) checkpoints
 # ---------------------------------------------------------------------------
 

@@ -112,6 +112,7 @@ def run_benchmark(
     auto_mapping: bool = False,
     num_samples: Optional[int] = None,
     num_workers: int = 4,
+    save_pred_images: bool = False,
 ) -> Dict:
     """Full benchmark mode -> best_mapping.json + benchmark_summary.json +
     roc_<task>.png, returning the summary dict (reference :16-208)."""
@@ -267,4 +268,36 @@ def run_benchmark(
     with open(os.path.join(save_dir, "benchmark_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(f"benchmark summary saved to {os.path.join(save_dir, 'benchmark_summary.json')}")
+
+    if save_pred_images:
+        # GT/Pred overlays, green when correct / red when wrong per task
+        # (Functions/RTM_evaluation.py:1225-1287).
+        import cv2
+
+        pred_dir = os.path.join(save_dir, "pred_images")
+        os.makedirs(pred_dir, exist_ok=True)
+        for i, (path, bench_cls) in enumerate(images):
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            y = 24
+            for task in initial_mapping:
+                B = len(bench_classes[task])
+                proj = np.zeros((len(tasks_json[task]), B))
+                for idx_mc, mc_name in enumerate(tasks_json[task]):
+                    proj[idx_mc, inverted[task].get(mc_name.lower(), B - 1)] = 1.0
+                pb = model_probs[task][i] @ proj
+                pred_idx = int(pb.argmax())
+                ok = pred_idx == gt[task][i]
+                color = (0, 200, 0) if ok else (0, 0, 255)
+                line = (
+                    f"{task}: GT={bench_classes[task][gt[task][i]]} "
+                    f"Pred={bench_classes[task][pred_idx]} ({pb[pred_idx]:.2f})"
+                )
+                cv2.putText(img, line, (8, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                            color, 1, cv2.LINE_AA)
+                y += 20
+            cv2.imwrite(
+                os.path.join(pred_dir, f"{i:05d}_{os.path.basename(path)}"), img
+            )
     return summary

@@ -28,13 +28,36 @@ def evaluate(
     save_dir: str,
     measure_time: bool = False,
     tensorboard_writer=None,
+    save_test_images: bool = False,
+    group_task: Optional[str] = None,
+    profile: bool = False,
 ) -> Tuple[float, Dict, float, list]:
     """Returns (avg_loss, metrics, overall_f1, per_batch_times) — the
-    reference's ``test_model_optimized`` contract."""
+    reference's ``test_model_optimized`` contract.
+
+    ``save_test_images`` writes annotated copies grouped into subfolders
+    named by the ground-truth class of ``group_task`` (default: the first
+    task, i.e. "Weather Type" — Functions/PM_evaluation.py:497-539).
+    ``profile`` captures a jax.profiler device trace of the first few batches
+    under <save_dir>/profile (the TPU-native upgrade of the reference's
+    wall-clock-only telemetry, SURVEY.md 5.1).
+    """
     tasks = engine.tasks
     os.makedirs(save_dir, exist_ok=True)
     roc_dir = os.path.join(save_dir, "roc")
     os.makedirs(roc_dir, exist_ok=True)
+    if save_test_images:
+        from .inference import annotate_and_save
+        from PIL import Image
+
+        group_task = group_task or tasks.names[0]
+        gi = tasks.names.index(group_task)
+        img_dir = os.path.join(save_dir, "test_images")
+    if profile:
+        import jax
+
+        prof_dir = os.path.join(save_dir, "profile")
+        jax.profiler.start_trace(prof_dir)
 
     nt = len(tasks)
     all_preds = [[] for _ in range(nt)]
@@ -44,11 +67,38 @@ def evaluate(
     total = 0
     times = []
 
+    batch_idx = -1
     for images, labels, _paths in loader:
+        batch_idx += 1
         t0 = time.perf_counter()
         res = engine.run(images, labels, collect=("probs", "preds"))
         times.append(time.perf_counter() - t0)
+        if profile and batch_idx == 2:
+            import jax
+
+            jax.profiler.stop_trace()
+            profile = False
+            print(f"profiler trace written under {os.path.join(save_dir, 'profile')}")
         b = images.shape[0]
+        if save_test_images:
+            for i in range(b):
+                gt = labels[i, gi]
+                gt_name = (
+                    tasks.class_names[gi][gt]
+                    if 0 <= gt < tasks.num_classes[gi]
+                    else "Unlabeled"
+                )
+                lines = []
+                for ti, t in enumerate(tasks.names):
+                    k = tasks.num_classes[ti]
+                    p = res["probs"][i, ti, :k]
+                    idx = int(p.argmax())
+                    lines.append(f"{t}: {tasks.class_names[ti][idx]} ({p[idx]:.2f})")
+                annotate_and_save(
+                    Image.fromarray(images[i]),
+                    lines,
+                    os.path.join(img_dir, gt_name, f"b{batch_idx:04d}_i{i:03d}.png"),
+                )
         # Reference loss accounting: batch_loss = sum over labeled tasks of
         # their mean CE; total_loss += batch_loss * batch_size
         # (PMG_evaluation.py:131-153).
@@ -64,6 +114,11 @@ def evaluate(
             all_preds[ti].extend(res["preds"][m, ti].tolist())
             all_labels[ti].extend(labels[m, ti].tolist())
             all_probs[ti].extend(res["probs"][m, ti, :k].tolist())
+
+    if profile:  # fewer than 3 batches: close the trace now
+        import jax
+
+        jax.profiler.stop_trace()
 
     avg_loss = loss_sum / total if total else 0.0
     metrics: Dict[str, Dict] = {}

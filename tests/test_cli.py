@@ -1,0 +1,91 @@
+"""End-to-end CLI smoke tests (the ``weather.py`` surface) on the synthetic
+tree with a tiny PMG config, plus jit determinism."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+from wadt.cli import main
+
+from tools.make_synth_dataset import make as make_synth
+
+TINY = {
+    "hparams": dict(
+        ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+        transformer_layers=1, transformer_heads=2, norm="batch",
+    )
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    synth = make_synth(str(root / "synth"), n_per_class=2, size=64)
+    cfg = str(root / "hparams.json")
+    with open(cfg, "w") as f:
+        json.dump(TINY, f)
+    return synth, cfg, str(root)
+
+
+def _base(env):
+    synth, cfg, root = env
+    return [
+        "pmg", "--build_classifier", os.path.join(synth, "tasks.json"),
+        "--config_path", cfg, "--batch_size", "4",
+    ], synth, root
+
+
+def test_cli_classifier_with_test_images_and_export(env):
+    base, synth, root = _base(env)
+    save = os.path.join(root, "eval")
+    exported = os.path.join(root, "exported.pth")
+    rc = main(base + [
+        "--mode", "classifier", "--data", os.path.join(synth, "dataset.json"),
+        "--save_dir", save, "--save_test_images", "--export_torch", exported,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(save, "metrics_test.json"))
+    img_dir = os.path.join(save, "test_images")
+    # grouped by GT Weather Type class name
+    groups = os.listdir(img_dir)
+    assert set(groups) <= {"Clear", "Rain", "Snow", "Fog", "Unlabeled"}
+    assert sum(len(os.listdir(os.path.join(img_dir, g))) for g in groups) == 8
+    assert os.path.getsize(exported) > 1000
+
+
+def test_cli_benchmark_pred_images(env):
+    base, synth, root = _base(env)
+    save = os.path.join(root, "bench")
+    rc = main(base + [
+        "--mode", "benchmark",
+        "--benchmark_folder", os.path.join(synth, "images"),
+        "--benchmark_mapping", os.path.join(synth, "mapping.json"),
+        "--save_dir", save, "--roc_output", os.path.join(save, "roc"),
+        "--save_pred_images",
+    ])
+    assert rc == 0
+    preds = os.listdir(os.path.join(save, "pred_images"))
+    assert len(preds) == 8
+
+
+def test_jit_determinism(env):
+    """Same params+input -> bit-identical logits across separate jitted calls
+    (SURVEY.md section 4 recommended determinism gate)."""
+    import jax
+
+    from wadt.engine.executor import Engine
+    from wadt.models import pmg
+
+    base, synth, root = _base(env)
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    spec = pmg.build_spec(tasks, TINY["hparams"])
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    eng = Engine("pmg", spec, params, batch_size=4)
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 64, 64, 3), np.uint8)
+    a = eng.run(imgs, collect=("logits",))["logits"]
+    b = eng.run(imgs, collect=("logits",))["logits"]
+    np.testing.assert_array_equal(a, b)

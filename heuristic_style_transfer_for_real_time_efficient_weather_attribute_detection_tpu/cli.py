@@ -24,7 +24,7 @@ from typing import Any, Dict
 
 MODES = [
     "classifier", "tsne", "tsne_interactive", "clustering", "camera",
-    "benchmark", "folder", "watch_folder", "inference",
+    "benchmark", "folder", "watch_folder", "inference", "train",
 ]
 
 
@@ -109,6 +109,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--style_iterations", type=int, default=300)
     p.add_argument("--lr", type=float, default=0.0005)
     p.add_argument("--init_type", type=str, default="noise")
+    # training (train mode; recorded reference recipe)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--train_lr", type=float, default=3e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--balance_loss", action="store_true")
+    p.add_argument("--use_focal", action="store_true")
+    p.add_argument("--focal_gamma", type=float, default=2.0)
+    p.add_argument("--val_split", type=float, default=0.2)
+    p.add_argument("--freeze_encoder", action="store_true")
     # RTM architecture flags
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--attn_token_dim", type=int, default=None)
@@ -213,6 +223,25 @@ def main(argv=None) -> int:
             _run_explain(args, engine, ds)
         if args.style_transfer:
             _run_style_transfer(args, engine, ds)
+
+    elif args.mode == "train":
+        from .workloads.train import fit
+
+        if not args.data:
+            raise ValueError("train mode needs --data")
+        fit(
+            args.family, engine.spec, args.data, args.build_classifier,
+            args.save_dir,
+            options=dict(
+                epochs=args.epochs, batch_size=args.batch_size,
+                lr=args.train_lr, weight_decay=args.weight_decay,
+                accum_steps=args.accum_steps, balance_loss=args.balance_loss,
+                use_focal=args.use_focal, focal_gamma=args.focal_gamma,
+                val_split=args.val_split, freeze_encoder=args.freeze_encoder,
+                num_workers=args.num_workers,
+            ),
+            init_params=engine.params if args.model_path else None,
+        )
 
     elif args.mode == "benchmark":
         from .workloads.benchmark import run_benchmark

@@ -1,0 +1,152 @@
+"""Asynchronous micro-batching executor — the continuous-batching serving
+layer (SURVEY.md section 7: camera/watch/folder streams must "never block on
+dispatch"; the reference's loops are fully synchronous batch=1).
+
+Clients submit single frames (or small requests) and get futures; a
+background dispatcher coalesces whatever is queued — up to ``max_batch`` —
+into one padded, jitted forward, so concurrent streams share the chip and a
+single 30 FPS camera never waits behind another stream's dispatch.
+
+Design notes:
+- one compiled shape (``max_batch``): padding beats a shape zoo,
+- the dispatcher blocks on device results; callers only block on their own
+  future,
+- per-request latency telemetry (queue wait + device time) is recorded for
+  the p50/p99 serving report (BASELINE.md latency target).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .executor import Engine
+
+
+class _Request:
+    __slots__ = ("image", "future", "t_submit")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class AsyncBatcher:
+    """Micro-batching front-end over an Engine.
+
+    ``submit(image_u8) -> Future`` resolving to
+    ``{"probs": [T, Kmax], "preds": [T], "latency_s": float}``.
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 2.0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch or engine.batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._stop = threading.Event()
+        self.latencies: List[float] = []
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, image_u8: np.ndarray) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("AsyncBatcher is closed")
+        req = _Request(image_u8)
+        self._queue.put(req)
+        return req.future
+
+    def predict(self, image_u8: np.ndarray, timeout: Optional[float] = None) -> Dict:
+        return self.submit(image_u8).result(timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        if not self.latencies:
+            return {}
+        arr = np.asarray(self.latencies)
+        return {
+            "p50": float(np.percentile(arr, 50)),
+            "p90": float(np.percentile(arr, 90)),
+            "p99": float(np.percentile(arr, 99)),
+            "mean": float(arr.mean()),
+            "n": len(arr),
+        }
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        """Block for one request, then drain (bounded) whatever arrived while
+        we were dispatching, waiting at most max_wait for stragglers."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            try:
+                nxt = self._queue.get(timeout=max(remaining, 0) if remaining > 0 else None)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-signal shutdown for the outer loop
+                break
+            batch.append(nxt)
+            if remaining <= 0:
+                break
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        eng = self.engine
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                break
+            try:
+                images = np.stack([r.image for r in batch])
+                out = eng.run(images, collect=("probs", "preds"))
+                now = time.perf_counter()
+                for i, r in enumerate(batch):
+                    lat = now - r.t_submit
+                    self.latencies.append(lat)
+                    r.future.set_result(
+                        {
+                            "probs": out["probs"][i],
+                            "preds": out["preds"][i],
+                            "latency_s": lat,
+                        }
+                    )
+            except Exception as e:  # propagate to every waiter, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        # drain any remaining requests with a shutdown error
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(RuntimeError("AsyncBatcher closed"))

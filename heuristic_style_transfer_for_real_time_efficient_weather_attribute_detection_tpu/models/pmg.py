@@ -26,7 +26,7 @@ from ..config import TaskSpec
 from ..ops.attention import stacked_task_heads, task_query_pool, transformer_encoder
 from ..ops.gram import patch_gram_tokens
 from ..ops.nn import conv2d, init_conv, init_linear, init_se, linear, se_block
-from .trunk import apply_trunk, init_trunk, trunk_plan
+from .trunk import apply_trunk, apply_trunk_train, init_trunk, trunk_plan
 
 # Reference builder defaults (utils/PMG/PMG_model_utils.py:135-172).
 DEFAULTS = dict(
@@ -194,6 +194,18 @@ def head_apply(
         aux["pooled"] = pooled
     logits = stacked_task_heads(pooled, params["heads"])
     return logits, aux
+
+
+def apply_train(
+    params: Dict[str, Any], x: jnp.ndarray, spec: Spec
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Training-mode forward: BatchNorm batch statistics + running-stat
+    updates.  Returns (stacked_logits, trunk params with updated stats).
+    Transformer dropout is intentionally off (deterministic training).
+    """
+    feats, new_trunk = apply_trunk_train(params["trunk"], x, spec.plan, spec.norm)
+    logits, _ = head_apply(params, feats, spec)
+    return logits, new_trunk
 
 
 def trunk_features(params: Dict[str, Any], x: jnp.ndarray, spec: Spec) -> jnp.ndarray:

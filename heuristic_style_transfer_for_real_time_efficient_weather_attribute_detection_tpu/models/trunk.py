@@ -71,3 +71,38 @@ def apply_trunk(
         x = apply_norm(x, p["norm"], norm)
         x = leaky_relu(x, 0.2)
     return x
+
+
+def apply_trunk_train(
+    params: List[Dict],
+    x: jnp.ndarray,
+    plan: Tuple[ConvBlock, ...],
+    norm: str,
+    momentum: float = 0.1,
+):
+    """Training-mode trunk: BatchNorm uses batch statistics and returns
+    updated running stats (torch semantics: momentum 0.1, unbiased variance
+    in the running update).  Instance/group norms are stat-free, so train ==
+    eval for them.  Returns (features, new_trunk_params).
+    """
+    from ..ops.norms import batch_norm_train
+
+    new_params: List[Dict] = []
+    for p, b in zip(params, plan):
+        x = conv2d(x, p["conv"], stride=b.stride, padding=b.pad)
+        if norm == "batch":
+            x, mean, var = batch_norm_train(x, p["norm"])
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            new_norm = {
+                "scale": p["norm"]["scale"],
+                "bias": p["norm"]["bias"],
+                "mean": (1 - momentum) * p["norm"]["mean"] + momentum * mean,
+                "var": (1 - momentum) * p["norm"]["var"] + momentum * unbiased,
+            }
+        else:
+            x = apply_norm(x, p["norm"], norm)
+            new_norm = p["norm"]
+        x = leaky_relu(x, 0.2)
+        new_params.append({"conv": p["conv"], "norm": new_norm})
+    return x, new_params

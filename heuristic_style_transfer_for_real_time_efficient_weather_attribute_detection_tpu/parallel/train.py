@@ -57,9 +57,105 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 3e-4, weight_decay: float = 1e-4):
-    """The recorded reference training recipe (hyperparameters_PMG.json:37-38)."""
-    return optax.adamw(lr, weight_decay=weight_decay)
+_STATS_KEYS = {"mean", "var"}
+_ENCODER_ROOTS = {"trunk", "backbone"}
+
+
+def _path_names(path):
+    return [getattr(p, "key", getattr(p, "name", None)) for p in path]
+
+
+def _decay_mask(params):
+    """AdamW weight decay everywhere except BatchNorm running statistics
+    (they carry zero gradients and must not be decayed toward 0)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not (set(_path_names(path)) & _STATS_KEYS), params
+    )
+
+
+def make_optimizer(
+    lr: float = 3e-4,
+    weight_decay: float = 1e-4,
+    accum_steps: int = 1,
+    params_template=None,
+):
+    """The recorded reference training recipe
+    (hyperparameters_PMG.json:34-51: AdamW lr 3e-4, wd 1e-4, accum_steps)."""
+    mask = _decay_mask(params_template) if params_template is not None else None
+    opt = optax.adamw(lr, weight_decay=weight_decay, mask=mask)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
+
+
+def masked_cross_entropy_ex(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    focal_gamma: Optional[float] = None,
+):
+    """Masked CE with optional per-class weights and focal modulation.
+
+    class_weights: [T, Kmax] (zero-padded); torch ``CrossEntropyLoss(weight)``
+    semantics — the per-task mean divides by the sum of selected weights.
+    focal_gamma: multiplies each sample's NLL by (1 - p_target)^gamma
+    (the recorded ``use_focal``/``focal_gamma`` option).
+    Returns (per_task_loss [T], per_task_count [T]).
+    """
+    from ..config import IGNORE_INDEX
+
+    neg = jnp.finfo(jnp.float32).min
+    z = jnp.where(mask, logits.astype(jnp.float32), neg)
+    logp = jax.nn.log_softmax(z, axis=-1)
+    valid = labels != IGNORE_INDEX
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if focal_gamma is not None:
+        p_t = jnp.exp(-nll)
+        nll = nll * (1.0 - p_t) ** focal_gamma
+    if class_weights is not None:
+        w = jnp.take_along_axis(
+            jnp.broadcast_to(class_weights, (labels.shape[0],) + class_weights.shape),
+            safe[..., None],
+            axis=-1,
+        )[..., 0]
+        w = jnp.where(valid, w, 0.0)
+        denom = jnp.sum(w, axis=0)
+        return jnp.sum(jnp.where(valid, nll, 0.0) * w, axis=0) / jnp.maximum(
+            denom, 1e-9
+        ), jnp.sum(valid, axis=0)
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.sum(valid, axis=0)
+    return jnp.sum(nll, axis=0) / jnp.maximum(count, 1), count
+
+
+def compute_class_weights(
+    labels: "Any", num_classes, mode: str = "median", cap: float = 10.0
+):
+    """Per-task inverse-frequency class weights from the label matrix [N, T]
+    (the recorded ``class_weight_mode: median`` / ``class_weight_cap: 10``
+    options).  Returns a zero-padded [T, Kmax] float32 array."""
+    import numpy as np
+
+    from ..config import IGNORE_INDEX
+
+    nt = len(num_classes)
+    kmax = max(num_classes)
+    out = np.zeros((nt, kmax), np.float32)
+    for ti in range(nt):
+        col = labels[:, ti]
+        col = col[col != IGNORE_INDEX]
+        counts = np.bincount(col, minlength=num_classes[ti]).astype(np.float64)
+        freq = np.maximum(counts, 1e-9)
+        if mode == "median":
+            ref = np.median(freq[counts > 0]) if (counts > 0).any() else 1.0
+        else:  # "mean" / fallback
+            ref = freq[counts > 0].mean() if (counts > 0).any() else 1.0
+        w = np.clip(ref / freq, 0.0, cap)
+        w[counts == 0] = 0.0
+        out[ti, : num_classes[ti]] = w
+    return out
 
 
 def make_train_step(
@@ -67,37 +163,82 @@ def make_train_step(
     spec,
     optimizer=None,
     mesh: Optional[Mesh] = None,
+    *,
+    use_focal: bool = False,
+    focal_gamma: float = 2.0,
+    class_weights=None,
+    freeze_encoder: bool = False,
+    bn_train: bool = True,
 ) -> Tuple[Callable, Callable]:
     """Returns (init_fn(key) -> TrainState, step_fn(state, images, labels)).
 
     images: normalized float NHWC [B,...]; labels: [B, T] int with
     IGNORE_INDEX for missing annotations (the dataset contract,
     utils/datasets_utils.py:150-183).  Batch sharded over 'data' when a mesh
-    is given.
+    is given.  ``bn_train`` enables BatchNorm batch statistics + running-stat
+    updates for families that support it (PMG); ``freeze_encoder`` zeroes
+    trunk/backbone gradients (the recorded ``freeze_encoder`` option).
     """
     mod = get_family(family)
-    optimizer = optimizer or make_optimizer()
     mask = jnp.asarray(class_mask(spec.tasks))
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+    gamma = focal_gamma if use_focal else None
+    has_bn_train = bn_train and hasattr(mod, "apply_train") and getattr(
+        spec, "norm", None
+    ) == "batch"
 
     def loss_fn(params, images, labels):
-        logits, _ = mod.apply(params, images, spec)
-        per_task, counts = masked_cross_entropy(logits, labels, mask)
-        # Mean over tasks that have any labels in the batch (matches the
-        # reference eval-loss accounting, Functions/PMG_evaluation.py:131-152).
+        if has_bn_train:
+            logits, new_trunk = mod.apply_train(params, images, spec)
+        else:
+            logits, _ = mod.apply(params, images, spec)
+            new_trunk = None
+        per_task, counts = masked_cross_entropy_ex(
+            logits, labels, mask, class_weights=cw, focal_gamma=gamma
+        )
         present = (counts > 0).astype(jnp.float32)
-        return jnp.sum(per_task * present) / jnp.maximum(jnp.sum(present), 1.0)
+        loss = jnp.sum(per_task * present) / jnp.maximum(jnp.sum(present), 1.0)
+        return loss, new_trunk
+
+    def _zero_encoder(grads):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, g: jnp.zeros_like(g)
+            if (set(_path_names(path)) & _ENCODER_ROOTS)
+            else g,
+            grads,
+        )
 
     def step(state: TrainState, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, labels)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        (loss, new_trunk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, labels
+        )
+        if freeze_encoder:
+            grads = _zero_encoder(grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        if freeze_encoder:
+            # zero the UPDATES too: AdamW's decoupled weight decay would
+            # otherwise still shrink frozen weights despite zero gradients
+            updates = _zero_encoder(updates)
         params = optax.apply_updates(state.params, updates)
+        if new_trunk is not None:
+            # Running stats are not gradient-updated; adopt the batch-stat
+            # exponential update, preserving the optimizer-updated scale/bias.
+            merged = []
+            for upd, cur in zip(new_trunk, params["trunk"]):
+                norm = dict(cur["norm"])
+                norm["mean"], norm["var"] = upd["norm"]["mean"], upd["norm"]["var"]
+                merged.append({"conv": cur["conv"], "norm": norm})
+            params = {**params, "trunk": merged}
         return TrainState(params, opt_state, state.step + 1), loss
+
+    template = mod.init(jax.random.PRNGKey(0), spec) if optimizer is None else None
+    opt = optimizer or make_optimizer(params_template=template)
 
     def init_fn(key) -> TrainState:
         params = mod.init(key, spec)
         if mesh is not None:
             params = jax.device_put(params, param_shardings(params, mesh))
-        return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+        return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
     if mesh is not None:
         data_sh = NamedSharding(mesh, P("data"))

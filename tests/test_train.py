@@ -1,0 +1,132 @@
+"""Trainer tests: recorded-recipe options (focal, class weights, freeze,
+accum, BN train mode) and the end-to-end fit() loop."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+from wadt.config import IGNORE_INDEX
+from wadt.models import pmg
+
+TINY = dict(
+    ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+TASKS = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+
+
+def test_bn_train_updates_running_stats():
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    x = np.random.RandomState(0).randn(8, 32, 32, 3).astype(np.float32)
+    logits, new_trunk = pmg.apply_train(params, x, spec)
+    assert logits.shape == (8, 2, 3)
+    # stats moved from init (mean 0 / var 1) toward batch statistics
+    m0 = np.asarray(params["trunk"][0]["norm"]["mean"])
+    m1 = np.asarray(new_trunk[0]["norm"]["mean"])
+    assert not np.allclose(m0, m1)
+    # momentum 0.1: new = 0.9*old + 0.1*batch
+    v0 = np.asarray(params["trunk"][0]["norm"]["var"])
+    v1 = np.asarray(new_trunk[0]["norm"]["var"])
+    assert np.all(np.abs(v1 - v0) <= 0.1 * np.abs(v1 / 0.1))  # bounded step
+
+
+def test_focal_and_weights_reduce_to_ce():
+    """gamma=0 focal == plain CE; uniform weights == plain CE."""
+    import jax.numpy as jnp
+
+    from wadt.engine.executor import class_mask, masked_cross_entropy
+    from wadt.parallel.train import masked_cross_entropy_ex
+
+    rng = np.random.RandomState(0)
+    spec = pmg.build_spec(TASKS, TINY)
+    mask = jnp.asarray(class_mask(spec.tasks))
+    logits = jnp.asarray(rng.randn(6, 2, 3).astype(np.float32))
+    labels = jnp.asarray(
+        np.array([[0, 1], [2, 0], [1, IGNORE_INDEX], [0, 0], [IGNORE_INDEX, 1], [2, 1]],
+                 np.int32))
+    base, _ = masked_cross_entropy(logits, labels, mask)
+    f0, _ = masked_cross_entropy_ex(logits, labels, mask, focal_gamma=0.0)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(f0), atol=1e-6)
+    uni = np.zeros((2, 3), np.float32)
+    uni[0, :3] = 1.0
+    uni[1, :2] = 1.0
+    w0, _ = masked_cross_entropy_ex(logits, labels, mask, class_weights=jnp.asarray(uni))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(w0), atol=1e-5)
+    # focal with gamma>0 strictly reduces easy-sample loss
+    f2, _ = masked_cross_entropy_ex(logits, labels, mask, focal_gamma=2.0)
+    assert np.all(np.asarray(f2) <= np.asarray(base) + 1e-6)
+
+
+def test_compute_class_weights_median_cap():
+    from wadt.parallel.train import compute_class_weights
+
+    labels = np.array(
+        [[0, 0]] * 8 + [[1, 1]] * 2 + [[2, IGNORE_INDEX]] * 1, np.int32
+    )
+    w = compute_class_weights(labels, (3, 2), mode="median", cap=3.0)
+    assert w.shape == (2, 3)
+    # task 0 counts: 8,2,1 -> median 2 -> weights 0.25, 1, 2
+    np.testing.assert_allclose(w[0], [0.25, 1.0, 2.0], atol=1e-6)
+    # cap applies
+    labels2 = np.array([[0, 0]] * 100 + [[1, 0]] * 1, np.int32)
+    w2 = compute_class_weights(labels2, (3, 2), cap=3.0)
+    assert w2[0, 1] == 3.0
+    assert w2[0, 2] == 0.0  # absent class -> zero weight
+
+
+def test_fit_end_to_end(tmp_path):
+    from tools.make_synth_dataset import make as make_synth
+
+    from wadt.workloads.train import fit
+
+    synth = make_synth(str(tmp_path / "synth"), n_per_class=4, size=64)
+    spec = pmg.build_spec(json.load(open(os.path.join(synth, "tasks.json"))), TINY)
+    out = fit(
+        "pmg", spec, os.path.join(synth, "dataset.json"),
+        os.path.join(synth, "tasks.json"), str(tmp_path / "run"),
+        options=dict(epochs=3, batch_size=8, lr=3e-3, val_split=0.25,
+                     balance_loss=True, use_focal=True, num_workers=2),
+    )
+    hist = out["history"]
+    assert len(hist) == 3
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert os.path.exists(tmp_path / "run" / "best_model.pth")
+    side = json.load(open(tmp_path / "run" / "hyperparameters.json"))
+    assert side["hparams"]["ndf"] == 8 and "train_options" in side
+    # trained .pth loads back through the converter
+    from wadt.engine import checkpoint
+
+    params = checkpoint.load_torch_checkpoint(
+        "pmg", str(tmp_path / "run" / "best_model.pth"), spec
+    )
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    logits, _ = pmg.apply(params, x, spec)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_freeze_encoder_keeps_trunk_fixed():
+    import jax
+
+    from wadt.parallel.train import make_train_step
+
+    spec = pmg.build_spec(TASKS, TINY)
+    init_fn, step_fn = make_train_step("pmg", spec, freeze_encoder=True,
+                                       bn_train=False)
+    state = init_fn(jax.random.PRNGKey(0))
+    w0 = np.asarray(state.params["trunk"][0]["conv"]["w"])
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(8, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+    state, _ = step_fn(state, imgs, labels)
+    np.testing.assert_array_equal(w0, np.asarray(state.params["trunk"][0]["conv"]["w"]))
+    # heads DID move
+    assert not np.allclose(
+        np.asarray(init_fn(jax.random.PRNGKey(0)).params["queries"]),
+        np.asarray(state.params["queries"]),
+    )

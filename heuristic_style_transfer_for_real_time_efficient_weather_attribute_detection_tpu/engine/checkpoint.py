@@ -26,12 +26,11 @@ Native checkpoints (pytree save/restore) go through Orbax — see
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Mapping, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TaskSpec
 from ..models import pm as pm_mod
 from ..models import pmg as pmg_mod
 from ..models import resnet as resnet_mod

@@ -12,8 +12,7 @@ compilation.  Optionally shards the batch axis over a device mesh
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

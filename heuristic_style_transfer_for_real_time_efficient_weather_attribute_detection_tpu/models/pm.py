@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TaskSpec
-from ..ops.nn import init_linear, init_norm, init_conv
+from ..ops.nn import init_conv, init_linear
 from .trunk import apply_trunk, init_trunk, trunk_plan
 
 DEFAULTS = dict(

@@ -12,8 +12,6 @@ inside the jitted forward (``normalize_uint8``).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image

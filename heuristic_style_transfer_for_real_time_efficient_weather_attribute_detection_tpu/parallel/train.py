@@ -18,14 +18,14 @@ fine-tuning regime.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.executor import class_mask, masked_cross_entropy
+from ..engine.executor import class_mask
 from ..models import get_family
 
 # Param-pytree keys whose leaves carry a leading task axis T (shardable over

@@ -26,7 +26,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..config import IGNORE_INDEX
 from ..engine.executor import Engine
 
 _CAPTURE_FOR_KIND = {

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import IGNORE_INDEX
 from ..models import get_family
-from ..ops.preprocess import denormalize, normalize_uint8
+from ..ops.preprocess import normalize_uint8
 
 
 class Explainer:

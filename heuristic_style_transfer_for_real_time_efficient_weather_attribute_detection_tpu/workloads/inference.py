@@ -26,7 +26,6 @@ import os
 import random
 import re
 import threading
-import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -19,8 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

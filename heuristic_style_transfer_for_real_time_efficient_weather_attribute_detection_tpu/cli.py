@@ -59,6 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="benchmark mode: GT/Pred green-red annotated overlays")
     p.add_argument("--parity_precision", action="store_true",
                    help="full-f32 matmuls (bit-parity with the torch reference)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch axis across all visible devices")
     # explainability
     p.add_argument("--visualize_gradcam", action="store_true")
     p.add_argument("--save_gradcam_images", action="store_true")
@@ -173,6 +175,22 @@ def build_engine(args) -> "Any":
         checkpoint.save_torch_checkpoint(args.family, params, spec, args.export_torch)
         print(f"exported torch-format checkpoint to {args.export_torch}")
 
+    mesh = None
+    if args.data_parallel:
+        from .parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if n > 1:
+            if args.batch_size % n:
+                raise ValueError(
+                    f"--batch_size {args.batch_size} must divide evenly over "
+                    f"{n} devices for --data_parallel"
+                )
+            mesh = make_mesh(n)
+            print(f"data-parallel over {n} devices")
+        else:
+            print("[data_parallel] single device visible; running unsharded")
+
     return Engine(
         args.family,
         spec,
@@ -180,6 +198,7 @@ def build_engine(args) -> "Any":
         batch_size=args.batch_size,
         prob_threshold=args.prob_threshold,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        mesh=mesh,
     )
 
 

@@ -139,8 +139,17 @@ def run_camera(
     n = 0
     for frame in frames_from_capture(cap):
         t0 = time.time()
-        small = cv2.resize(frame, (224, 224), interpolation=cv2.INTER_LINEAR)
-        rgb = cv2.cvtColor(small, cv2.COLOR_BGR2RGB)
+        # Aspect-preserving Resize(256)+CenterCrop(224), matching the
+        # reference's camera transform (test_PMG.py:206, build_default_transform)
+        # — NOT a distorting direct resize.
+        h0, w0 = frame.shape[:2]
+        scale = 256.0 / min(h0, w0)
+        rs = cv2.resize(frame, (int(round(w0 * scale)), int(round(h0 * scale))),
+                        interpolation=cv2.INTER_LINEAR)
+        top = int(round((rs.shape[0] - 224) / 2.0))
+        left = int(round((rs.shape[1] - 224) / 2.0))
+        crop = rs[top : top + 224, left : left + 224]
+        rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
         probs = predictor(rgb)
         times.append(time.time() - t0)
         lines = [

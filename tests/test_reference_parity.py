@@ -1,0 +1,31 @@
+"""Full-pipeline accuracy parity vs the live PyTorch reference.
+
+Runs the reference's own eval loop and ours on identical data+weights and
+diffs metrics_test.json (tools/compare_with_reference.py).  Slow (~10 min:
+the reference evaluates eagerly on CPU) and needs /root/reference, so it is
+opt-in:  WADT_REFERENCE_PARITY=1 python -m pytest tests/test_reference_parity.py
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("WADT_REFERENCE_PARITY") != "1"
+    or not os.path.isdir("/root/reference"),
+    reason="opt-in: set WADT_REFERENCE_PARITY=1 (requires /root/reference)",
+)
+
+
+def test_metrics_identical(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compare_with_reference.py"),
+         str(tmp_path)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "PARITY OK" in proc.stdout

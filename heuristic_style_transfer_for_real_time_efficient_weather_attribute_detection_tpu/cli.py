@@ -281,7 +281,9 @@ def main(argv=None) -> int:
         run_inference(engine, folder, save_dir=args.save_dir,
                       num_samples=args.num_samples,
                       save_test_images=args.save_test_images,
-                      num_workers=args.num_workers)
+                      num_workers=args.num_workers,
+                      visualize_gradcam=args.visualize_gradcam,
+                      gradcam_task=args.gradcam_task, colormap=args.colormap)
 
     elif args.mode == "folder":
         from .workloads.inference import test_folder_predictions

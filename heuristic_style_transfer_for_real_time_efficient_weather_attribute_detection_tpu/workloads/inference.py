@@ -103,9 +103,18 @@ def run_inference(
     num_samples: Optional[int] = None,
     save_test_images: bool = False,
     num_workers: int = 4,
+    visualize_gradcam: bool = False,
+    gradcam_task: Optional[str] = None,
+    colormap: str = "hot",
 ) -> Dict[str, Dict]:
     """Recursive folder inference -> inference_results.json
-    ``{path: {task: {predicted_class, probability}}}``."""
+    ``{path: {task: {predicted_class, probability}}}``.
+
+    ``visualize_gradcam`` adds 50/50 heatmap-fusion copies sorted into
+    ``GradCAM/<predicted class>/<name>_fusion.jpg`` with a text line, the PM
+    variant's extra output (Functions/PM_evaluation.py:221-311; target class
+    = the prediction).
+    """
     paths = collect_image_paths(image_folder)
     if not paths:
         raise RuntimeError(f"No image found in '{image_folder}'")
@@ -126,11 +135,44 @@ def run_inference(
             annotate_and_save(
                 Image.open(path).convert("RGB"), lines, os.path.join(save_dir, rel)
             )
+    if save_dir and visualize_gradcam:
+        _gradcam_fusions(engine, paths, probs, save_dir, gradcam_task, colormap,
+                         num_workers)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "inference_results.json"), "w") as f:
             json.dump(results, f, indent=2, ensure_ascii=False)
     return results
+
+
+def _gradcam_fusions(engine, paths, probs, save_dir, gradcam_task, colormap,
+                     num_workers):
+    from .explain import Explainer, overlay_cam
+
+    tasks = engine.tasks
+    task = gradcam_task or tasks.names[0]
+    ti = tasks.names.index(task)
+    k = tasks.num_classes[ti]
+    names = tasks.class_names[ti]
+    explainer = Explainer(engine.family, engine.spec, engine.params)
+    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers)
+    pos = 0
+    for imgs, _, batch_paths in loader:
+        n = imgs.shape[0]
+        targets = probs[pos : pos + n, ti, :k].argmax(-1).astype("int32")
+        cam, _ = explainer.gradcam(imgs, task, targets)
+        for j in range(n):
+            cls = int(targets[j])
+            prob = float(probs[pos + j, ti, cls])
+            fused = overlay_cam(imgs[j], cam[j], colormap, alpha=0.5)
+            out_dir = os.path.join(save_dir, "GradCAM", names[cls])
+            fname = os.path.splitext(os.path.basename(batch_paths[j]))[0]
+            annotate_and_save(
+                Image.fromarray(fused),
+                [f"{task}: {names[cls]} ({prob:.2f})"],
+                os.path.join(out_dir, f"{fname}_fusion.jpg"),
+            )
+        pos += n
 
 
 # ---------------------------------------------------------------------------

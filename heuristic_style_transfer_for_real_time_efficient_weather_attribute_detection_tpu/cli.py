@@ -23,7 +23,7 @@ from typing import Any, Dict
 
 MODES = [
     "classifier", "tsne", "tsne_interactive", "clustering", "camera",
-    "benchmark", "folder", "watch_folder", "inference", "train",
+    "benchmark", "folder", "watch_folder", "inference", "train", "serve",
 ]
 
 
@@ -120,6 +120,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--focal_gamma", type=float, default=2.0)
     p.add_argument("--val_split", type=float, default=0.2)
     p.add_argument("--freeze_encoder", action="store_true")
+    # serve mode
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_wait_ms", type=float, default=2.0,
+                   help="micro-batch coalescing window")
     # RTM architecture flags
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--attn_token_dim", type=int, default=None)
@@ -260,6 +265,14 @@ def main(argv=None) -> int:
             ),
             init_params=engine.params if args.model_path else None,
         )
+
+    elif args.mode == "serve":
+        from .workloads.serve import InferenceServer
+
+        engine.warmup()
+        InferenceServer(engine, host=args.host, port=args.port,
+                        prob_threshold=args.prob_threshold,
+                        max_wait_ms=args.max_wait_ms).serve_forever()
 
     elif args.mode == "benchmark":
         from .workloads.benchmark import run_benchmark

@@ -1,0 +1,135 @@
+"""HTTP inference service — production serving front-end (additive; the
+reference's closest analog is the watch-folder home-automation handoff).
+
+Stdlib-only (http.server + ThreadingHTTPServer) over the AsyncBatcher, so
+concurrent clients coalesce into micro-batches on the chip.
+
+Endpoints:
+  GET  /healthz           -> {"status": "ok", "model": ..., "tasks": N}
+  GET  /stats             -> latency percentiles + request count
+  POST /predict           -> body: image bytes (any PIL-decodable format);
+                             response: {task: {predicted_class, probability,
+                             probs: {class: p, ...}}} with threshold->"Unknown"
+                             semantics matching the reference eval modes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from ..engine.executor import Engine
+from ..engine.serving import AsyncBatcher
+from ..ops.preprocess import load_image_uint8
+
+
+def make_handler(engine: Engine, batcher: AsyncBatcher, prob_threshold: float):
+    tasks = engine.tasks
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "wadt-serve/0.1"
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model": engine.family,
+                    "tasks": len(tasks),
+                    "batch_size": engine.batch_size,
+                })
+            elif self.path == "/stats":
+                self._json(200, batcher.latency_percentiles() or {"n": 0})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body (expect image bytes)"})
+                    return
+                raw = self.rfile.read(length)
+                img = Image.open(io.BytesIO(raw))
+                frame = load_image_uint8(img)
+            except Exception as e:
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
+            try:
+                res = batcher.predict(frame, timeout=60)
+            except Exception as e:
+                self._json(503, {"error": f"inference failed: {e}"})
+                return
+            out = {}
+            for ti, t in enumerate(tasks.names):
+                k = tasks.num_classes[ti]
+                p = res["probs"][ti, :k]
+                idx = int(p.argmax())
+                label = (
+                    "Unknown" if p[idx] < prob_threshold
+                    else tasks.class_names[ti][idx]
+                )
+                out[t] = {
+                    "predicted_class": label,
+                    "probability": float(p[idx]),
+                    "probs": {
+                        c: float(p[i]) for i, c in enumerate(tasks.class_names[ti])
+                    },
+                }
+            self._json(200, {
+                "prediction": out,
+                "latency_ms": round(res["latency_s"] * 1e3, 2),
+            })
+
+    return Handler
+
+
+class InferenceServer:
+    """Threaded HTTP server; ``serve_forever`` blocks, ``start``/``stop``
+    run it on a daemon thread (tests)."""
+
+    def __init__(self, engine: Engine, host: str = "0.0.0.0", port: int = 8000,
+                 prob_threshold: float = 0.5, max_wait_ms: float = 2.0):
+        self.batcher = AsyncBatcher(engine, max_wait_ms=max_wait_ms)
+        handler = make_handler(engine, self.batcher, prob_threshold)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        print(f"serving on :{self.port} (POST /predict, GET /healthz, /stats)")
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()

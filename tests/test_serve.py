@@ -1,0 +1,103 @@
+"""HTTP serving layer: predict/healthz/stats endpoints, error paths,
+concurrent clients through the micro-batcher."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import wadt  # noqa: F401
+from wadt.engine.executor import Engine
+from wadt.models import pmg
+from wadt.workloads.serve import InferenceServer
+
+TINY = dict(
+    ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+TASKS = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    engine = Engine("pmg", spec, params, batch_size=8)
+    srv = InferenceServer(engine, host="127.0.0.1", port=0, prob_threshold=0.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def _get(server, path):
+    with urllib.request.urlopen(_url(server, path), timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_image(server, data):
+    req = urllib.request.Request(_url(server, "/predict"), data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _jpeg_bytes(seed=0, size=(100, 80)):
+    img = Image.fromarray(
+        np.random.RandomState(seed).randint(0, 256, (size[1], size[0], 3), np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, "JPEG")
+    return buf.getvalue()
+
+
+def test_healthz(server):
+    code, j = _get(server, "/healthz")
+    assert code == 200 and j["status"] == "ok" and j["tasks"] == 2
+
+
+def test_predict_schema(server):
+    code, j = _post_image(server, _jpeg_bytes())
+    assert code == 200
+    pred = j["prediction"]
+    assert set(pred) == {"A", "B"}
+    assert set(pred["A"]) == {"predicted_class", "probability", "probs"}
+    assert abs(sum(pred["A"]["probs"].values()) - 1.0) < 1e-4
+    assert j["latency_ms"] > 0
+    code, stats = _get(server, "/stats")
+    assert stats["n"] >= 1
+
+
+def test_predict_concurrent(server):
+    results = []
+
+    def one(i):
+        results.append(_post_image(server, _jpeg_bytes(i))[0])
+
+    ts = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert results == [200] * 8
+
+
+def test_predict_bad_body(server):
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=b"not-an-image", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+
+def test_unknown_path(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=60)
+    assert exc.value.code == 404

@@ -127,7 +127,11 @@ def export_interactive_html(
 ) -> str:
     """Headless replacement for the Tkinter viewer (utils/tsne_utils.py:131-468):
     one self-contained HTML with a task dropdown, canvas scatter, hover path
-    display and click-to-copy — no display server needed."""
+    display, click-to-copy, and the reference's polygon selector — press
+    ``p`` to toggle polygon mode, click vertices, double-click to close; the
+    browser downloads ``inside_polygon_<task>.json`` with inside/outside
+    point lists (reference: right-click polygon -> JSON dump,
+    utils/tsne_utils.py:~300).  No display server needed."""
     payload = {
         t: {
             "xy": np.asarray(x2d, np.float32).round(3).tolist(),
@@ -167,8 +171,27 @@ mx=e.clientX-r.left,my=e.clientY-r.top;const d=DATA[sel.value];
 for(const[x,y,i]of pts){if((x-mx)**2+(y-my)**2<25){
 info.textContent=(d.paths[i]||'')+' / '+(d.classes[d.labels[i]]||'Unknown');return;}}
 info.textContent='';};
-cv.onclick=()=>{if(info.textContent)navigator.clipboard&&
+let polyMode=false,poly=[];
+document.addEventListener('keydown',e=>{if(e.key==='p'){polyMode=!polyMode;
+poly=[];draw();info.textContent=polyMode?'polygon mode: click vertices, double-click to close':'';}});
+function drawPoly(){if(!poly.length)return;ctx.strokeStyle='#d00';ctx.beginPath();
+ctx.moveTo(poly[0][0],poly[0][1]);poly.slice(1).forEach(p=>ctx.lineTo(p[0],p[1]));
+ctx.stroke();}
+function inside(x,y){let c=false;for(let i=0,j=poly.length-1;i<poly.length;j=i++){
+const[xi,yi]=poly[i],[xj,yj]=poly[j];
+if((yi>y)!=(yj>y)&&x<(xj-xi)*(y-yi)/(yj-yi)+xi)c=!c;}return c;}
+cv.onclick=e=>{const r=cv.getBoundingClientRect(),mx=e.clientX-r.left,my=e.clientY-r.top;
+if(polyMode){poly.push([mx,my]);draw();drawPoly();return;}
+if(info.textContent)navigator.clipboard&&
 navigator.clipboard.writeText(info.textContent.split(' / ')[0]);};
+cv.ondblclick=()=>{if(!polyMode||poly.length<3)return;
+const d=DATA[sel.value],ins=[],outs=[];
+pts.forEach(([x,y,i])=>{(inside(x,y)?ins:outs).push(d.paths[i]||String(i));});
+const blob=new Blob([JSON.stringify({inside:ins,outside:outs},null,2)],
+{type:'application/json'});
+const a=document.createElement('a');a.href=URL.createObjectURL(blob);
+a.download='inside_polygon_'+sel.value.replace(/ /g,'_')+'.json';a.click();
+polyMode=false;poly=[];draw();};
 sel.onchange=draw;draw();
 </script></body></html>"""
     )

@@ -41,11 +41,14 @@ def _stub_missing_modules():
     from PIL import Image
 
     for name in ("pytorch_grad_cam", "pytorch_grad_cam.utils",
-                 "pytorch_grad_cam.utils.model_targets"):
+                 "pytorch_grad_cam.utils.model_targets",
+                 "captum", "captum.attr"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
     sys.modules["pytorch_grad_cam"].GradCAM = object
     sys.modules["pytorch_grad_cam.utils.model_targets"].ClassifierOutputTarget = object
+    sys.modules["captum.attr"].IntegratedGradients = object
+    sys.modules["captum"].attr = sys.modules["captum.attr"]
 
     tv = types.ModuleType("torchvision")
     tr = types.ModuleType("torchvision.transforms")
@@ -201,44 +204,200 @@ def compare(ref_json, our_json, atol=1e-6):
     return fails
 
 
+PM_TINY = dict(ndf=16, norm="instance", patch_size=32, attn_tau=0.7,
+               attn_use_se=True, attn_softmax_spatial=True, ablate_attention=False)
+RTM_TINY = dict(truncate_layer=5, use_attention=True, attn_token_dim=48,
+                cls_hidden_dims=(32,), cls_num_layers=1)
+
+
+def _loader_for_reference(synth, tasks):
+    import torch
+    from torch.utils.data import DataLoader
+
+    from utils.datasets_utils import MultiTaskDataset, build_default_transform, multitask_collate
+
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json"),
+        transform=build_default_transform(224),
+    )
+    names = list(tasks.keys())
+    return DataLoader(ds, batch_size=4, shuffle=False, num_workers=0,
+                      collate_fn=lambda b: multitask_collate(b, names, -1))
+
+
+def run_reference_pm(synth, weights_pth, out_dir):
+    import torch
+    import torch.nn as nn
+
+    from Functions.PM_evaluation import test_classifier
+    from Models.models_PM import MultiTaskPatchGAN
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    model = MultiTaskPatchGAN(
+        tasks_dict={t: len(c) for t, c in tasks.items()}, input_nc=3,
+        device="cpu", **PM_TINY,
+    )
+    model.load_state_dict(torch.load(weights_pth))
+    model.eval()
+    criterions = {t: nn.CrossEntropyLoss() for t in tasks}
+    test_classifier(model, _loader_for_reference(synth, tasks), criterions, None,
+                    out_dir, torch.device("cpu"), tasks, prob_threshold=0.5)
+    return os.path.join(out_dir, "test_metrics.json")
+
+
+def run_reference_rtm(synth, weights_pth, out_dir):
+    import torch
+    import torch.nn as nn
+
+    from Functions.RTM_evaluation import test as rtm_test
+    from Models.models_RTM import MultiHeadAttentionPerTaskModel
+
+    from tools.make_fixtures import ResNet50
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    model = MultiHeadAttentionPerTaskModel(
+        base_encoder=ResNet50(), truncate_after_layer=RTM_TINY["truncate_layer"],
+        tasks=tasks, device="cpu", use_attention=RTM_TINY["use_attention"],
+        attn_token_dim=RTM_TINY["attn_token_dim"],
+        cls_hidden_dims=list(RTM_TINY["cls_hidden_dims"]),
+        cls_num_layers=RTM_TINY["cls_num_layers"],
+    )
+    model.load_state_dict(torch.load(weights_pth))
+    model.eval()
+    criterions = {t: nn.CrossEntropyLoss() for t in tasks}
+    rtm_test(model, _loader_for_reference(synth, tasks), criterions, None, out_dir,
+             torch.device("cpu"), tasks, 0.5, False, False, False, False)
+    return os.path.join(out_dir, "test_metrics.json")
+
+
+def run_ours_family(family, hparams, synth, weights_pth, out_dir):
+    import wadt  # noqa: F401
+    from wadt.config import enable_parity_precision, load_tasks
+    from wadt.data import BatchLoader, MultiTaskDataset
+    from wadt.engine import checkpoint
+    from wadt.engine.executor import Engine
+    from wadt.models import get_family
+    from wadt.workloads.evaluate import evaluate
+
+    enable_parity_precision()
+    tasks = load_tasks(os.path.join(synth, "tasks.json"))
+    mod = get_family(family)
+    spec = mod.build_spec(tasks, hparams)
+    params = checkpoint.load_torch_checkpoint(family, weights_pth, spec)
+    engine = Engine(family, spec, params, batch_size=4, prob_threshold=0.5)
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    evaluate(engine, BatchLoader(ds, batch_size=4, num_workers=2), out_dir)
+    return os.path.join(out_dir, "metrics_test.json")
+
+
+def compare_scalars(ref_json, our_json, atol=1e-6):
+    """PM/RTM pipelines: compare per-task acc/P/R/F1 (their test_metrics.json
+    schema vs our metrics_test.json)."""
+    ref = json.load(open(ref_json))
+    ours = json.load(open(our_json))["tasks"]
+    fails = []
+    for task, rm in ref.items():
+        if task == "average":
+            continue
+        om = ours[task]
+        for key in ("accuracy", "precision", "recall", "f1_score"):
+            if rm[key] is None:
+                continue
+            if abs(float(rm[key]) - float(om[key])) > atol:
+                fails.append((f"{task}/{key}", rm[key], om[key]))
+    return fails
+
+
 def main():
     import torch
 
     from tools.make_synth_dataset import make as make_synth
 
     base = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="parity_")
-    synth = make_synth(os.path.join(base, "synth"), n_per_class=5, size=96)
-
-    # random reference weights, frozen
+    families = (sys.argv[2].split(",") if len(sys.argv) > 2 else ["pmg", "pm", "rtm"])
+    # fully labeled: the PM/RTM reference loops feed every label to
+    # CrossEntropyLoss without masking
+    synth = make_synth(os.path.join(base, "synth"), n_per_class=5, size=96,
+                       full_labels=True)
     sys.path.insert(0, REFERENCE)
-    from Models.models_PMG import MultiTaskPatchGANGramModelNonOverlapV2
-
     with open(os.path.join(synth, "tasks.json")) as f:
         tasks = json.load(f)
-    torch.manual_seed(7)
-    m = MultiTaskPatchGANGramModelNonOverlapV2(
-        input_nc=3, num_classes_per_task={t: len(c) for t, c in tasks.items()},
-        **TINY,
-    )
-    for mod in m.modules():
-        if hasattr(mod, "running_mean"):
-            g = torch.Generator().manual_seed(11)
-            mod.running_mean.copy_(torch.randn(mod.num_features, generator=g) * 0.2)
-            mod.running_var.copy_(torch.rand(mod.num_features, generator=g) + 0.5)
-    weights = os.path.join(base, "weights.pth")
-    torch.save(m.state_dict(), weights)
+    ncpt = {t: len(c) for t, c in tasks.items()}
+    all_fails = []
 
-    ref_json = run_reference(synth, weights, os.path.join(base, "ref_out"))
-    our_json = run_ours(synth, weights, os.path.join(base, "our_out"))
-    fails = compare(ref_json, our_json)
-    if fails:
-        print(f"PARITY FAILURES ({len(fails)}):")
-        for name, a, b in fails[:20]:
+    def _randomize_bn(m, seed):
+        for mod in m.modules():
+            if hasattr(mod, "running_mean"):
+                g = torch.Generator().manual_seed(seed)
+                mod.running_mean.copy_(torch.randn(mod.num_features, generator=g) * 0.2)
+                mod.running_var.copy_(torch.rand(mod.num_features, generator=g) + 0.5)
+
+    if "pmg" in families:
+        from Models.models_PMG import MultiTaskPatchGANGramModelNonOverlapV2
+
+        torch.manual_seed(7)
+        m = MultiTaskPatchGANGramModelNonOverlapV2(
+            input_nc=3, num_classes_per_task=ncpt, **TINY)
+        _randomize_bn(m, 11)
+        weights = os.path.join(base, "weights_pmg.pth")
+        torch.save(m.state_dict(), weights)
+        ref_json = run_reference(synth, weights, os.path.join(base, "pmg_ref"))
+        our_json = run_ours(synth, weights, os.path.join(base, "pmg_ours"))
+        fails = compare(ref_json, our_json)
+        all_fails += [("pmg/" + n, a, b) for n, a, b in fails]
+        print(f"[pmg] full metrics_test.json diff: {len(fails)} failures")
+
+    if "pm" in families:
+        from Models.models_PM import MultiTaskPatchGAN
+
+        torch.manual_seed(17)
+        m = MultiTaskPatchGAN(tasks_dict=ncpt, input_nc=3, device="cpu", **PM_TINY)
+        weights = os.path.join(base, "weights_pm.pth")
+        torch.save(m.state_dict(), weights)
+        ref_json = run_reference_pm(synth, weights, os.path.join(base, "pm_ref"))
+        our_json = run_ours_family("pm", PM_TINY, synth, weights,
+                                   os.path.join(base, "pm_ours"))
+        fails = compare_scalars(ref_json, our_json)
+        all_fails += [("pm/" + n, a, b) for n, a, b in fails]
+        print(f"[pm] per-task acc/P/R/F1 diff: {len(fails)} failures")
+
+    if "rtm" in families:
+        from Models.models_RTM import MultiHeadAttentionPerTaskModel
+
+        from tools.make_fixtures import ResNet50
+
+        torch.manual_seed(27)
+        m = MultiHeadAttentionPerTaskModel(
+            base_encoder=ResNet50(),
+            truncate_after_layer=RTM_TINY["truncate_layer"], tasks=tasks,
+            device="cpu", use_attention=RTM_TINY["use_attention"],
+            attn_token_dim=RTM_TINY["attn_token_dim"],
+            cls_hidden_dims=list(RTM_TINY["cls_hidden_dims"]),
+            cls_num_layers=RTM_TINY["cls_num_layers"],
+        )
+        _randomize_bn(m, 29)
+        weights = os.path.join(base, "weights_rtm.pth")
+        torch.save(m.state_dict(), weights)
+        ref_json = run_reference_rtm(synth, weights, os.path.join(base, "rtm_ref"))
+        our_json = run_ours_family("rtm", RTM_TINY, synth, weights,
+                                   os.path.join(base, "rtm_ours"))
+        fails = compare_scalars(ref_json, our_json)
+        all_fails += [("rtm/" + n, a, b) for n, a, b in fails]
+        print(f"[rtm] per-task acc/P/R/F1 diff: {len(fails)} failures")
+
+    if all_fails:
+        print(f"PARITY FAILURES ({len(all_fails)}):")
+        for name, a, b in all_fails[:20]:
             print(f"  {name}: ref={a} ours={b}")
         sys.exit(1)
-    print("PARITY OK: metrics_test.json identical (loss, per-task acc/P/R/F1, "
-          "confusion matrices, macro/micro/per-class AUC) between the PyTorch "
-          "reference pipeline and this framework.")
+    print("PARITY OK across families "
+          f"{families}: PMG full metrics_test.json identical (loss, per-task "
+          "acc/P/R/F1, confusion, macro/micro/per-class AUC); PM and RTM "
+          "per-task acc/P/R/F1 identical vs their reference pipelines.")
 
 
 if __name__ == "__main__":

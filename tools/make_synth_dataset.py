@@ -32,7 +32,10 @@ MAPPING = {
 BENCH_DIRS = ["sun", "rain", "snow", "fog"]
 
 
-def make(out: str, n_per_class: int = 3, size: int = 96, seed: int = 0) -> str:
+def make(
+    out: str, n_per_class: int = 3, size: int = 96, seed: int = 0,
+    full_labels: bool = False,
+) -> str:
     rng = np.random.RandomState(seed)
     img_root = os.path.join(out, "images")
     manifest = {}
@@ -51,8 +54,12 @@ def make(out: str, n_per_class: int = 3, size: int = 96, seed: int = 0) -> str:
                 "Weather Type": TASKS["Weather Type"][ci],
                 "Visibility": "Low" if ci % 2 else "Good",
                 # leave 'Glare or Reflections' unlabeled for some images to
-                # exercise the IGNORE_INDEX path
-                **({"Glare or Reflections": "Absent"} if i % 2 == 0 else {}),
+                # exercise the IGNORE_INDEX path (unless full_labels)
+                **(
+                    {"Glare or Reflections": "Absent"}
+                    if (full_labels or i % 2 == 0)
+                    else {}
+                ),
             }
         manifest[cdir] = folder_entry
     with open(os.path.join(out, "dataset.json"), "w") as f:

@@ -40,9 +40,20 @@ def compute_embeddings(
     engine: Engine, loader, kind: str = "logits", per_task: bool = True
 ):
     """-> (embeddings, labels, paths): per-task dicts when ``per_task`` else
-    single arrays keyed off the first task (reference contract)."""
+    single arrays keyed off the first task (reference contract).
+
+    If the engine was compiled without the aux capture this tap needs, a
+    capture-enabled engine is built on the same params (one extra compile).
+    """
     tasks = engine.tasks
     capture = _CAPTURE_FOR_KIND[kind]
+    if any(c not in engine.capture for c in capture):
+        engine = Engine(
+            engine.family, engine.spec, engine.params,
+            batch_size=engine.batch_size, prob_threshold=engine.prob_threshold,
+            dtype=engine.dtype, capture=tuple(set(engine.capture) | set(capture)),
+            mesh=engine.mesh,
+        )
     embs = {t: [] for t in tasks.names}
     labs = {t: [] for t in tasks.names}
     paths: List[str] = []

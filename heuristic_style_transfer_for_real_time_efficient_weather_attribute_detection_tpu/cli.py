@@ -153,7 +153,8 @@ def build_engine(args) -> "Any":
     hparams: Dict[str, Any] = load_hparams(args.config_path, args.model_path)
 
     state = None
-    if args.model_path:
+    native_dir = args.model_path and os.path.isdir(args.model_path)
+    if args.model_path and not native_dir:
         state = checkpoint.load_state_dict(args.model_path)
     if args.family == "pm" and state is not None:
         # SE auto-probe overrides config (test_PM.py:149-150).
@@ -170,6 +171,12 @@ def build_engine(args) -> "Any":
     if state is not None:
         params = checkpoint.convert(args.family, state, spec)
         print(f"Model loaded from {args.model_path}")
+    elif native_dir:
+        # Orbax-native checkpoint directory (e.g. a trainer's best_model/).
+        params = checkpoint.load_native(
+            args.model_path, like=mod.init(jax.random.PRNGKey(0), spec)
+        )
+        print(f"Native (Orbax) checkpoint loaded from {args.model_path}")
     else:
         print("[WARN] no --model_path: random initialization")
         params = mod.init(jax.random.PRNGKey(0), spec)

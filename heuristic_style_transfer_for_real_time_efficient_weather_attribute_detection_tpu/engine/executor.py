@@ -155,6 +155,15 @@ class Engine:
         Pads the tail batch; per-batch wall-times returned under "times" when
         ``measure_time`` (parity with the reference's times_*.json telemetry).
         """
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(
+                f"expected uint8 NHWC images [N,H,W,3], got {images.shape}"
+            )
+        if images.dtype != np.uint8:
+            raise ValueError(
+                f"Engine.run expects uint8 images (device-side normalize); "
+                f"got {images.dtype} — use ops.preprocess.load_image_uint8"
+            )
         n = images.shape[0]
         bs = self.batch_size
         outs: Dict[str, List[np.ndarray]] = {k: [] for k in collect}

@@ -97,17 +97,31 @@ def rtm_task_attention(
     leading task axis T: ``proj_w`` [T, C, d], ``q`` [T, d], ``out_w`` [T, d, C].
     Per task: Tp = tokens @ proj; attn = softmax(q.Tp^T / sqrt(d));
     h = attn @ Tp; out = h @ out_w.  Reference: models_RTM.py:9-24.
-    Returns per-task embeddings [B, T, C].
+
+    TPU-first reassociation: the projection is linear, so both uses of the
+    [B,T,N,d] projected-token tensor factor away —
+      scores[b,t,n] = <tokens[b,n], proj_w[t] @ q[t]>        (pq precomputed)
+      h[b,t]        = (sum_n attn[b,t,n] tokens[b,n]) @ proj_w[t]
+    i.e. pool in C-space FIRST.  With the reference defaults (d = C = 2048,
+    N = 49) this removes a ~100 MB-per-100-images intermediate and turns the
+    hot path into three dense [*, C] contractions.  Bit-level: pure
+    reassociation (validated against the torch reference by the golden-logit
+    fixtures).  Returns per-task embeddings [B, T, C].
     """
     d = p["q"].shape[-1]
-    tp = jnp.einsum(
-        "bnc,tcd->btnd", tokens, p["proj_w"], preferred_element_type=jnp.float32
+    pq = jnp.einsum(
+        "tcd,td->tc", p["proj_w"], p["q"], preferred_element_type=jnp.float32
     )
     scores = jnp.einsum(
-        "td,btnd->btn", p["q"], tp, preferred_element_type=jnp.float32
+        "bnc,tc->btn", tokens, pq, preferred_element_type=jnp.float32
     ) * (1.0 / math.sqrt(d))
     w = jax.nn.softmax(scores, axis=-1)
-    h = jnp.einsum("btn,btnd->btd", w, tp, preferred_element_type=jnp.float32)
+    pooled = jnp.einsum(
+        "btn,bnc->btc", w, tokens, preferred_element_type=jnp.float32
+    )
+    h = jnp.einsum(
+        "btc,tcd->btd", pooled, p["proj_w"], preferred_element_type=jnp.float32
+    )
     return jnp.einsum(
         "btd,tdc->btc", h, p["out_w"], preferred_element_type=jnp.float32
     ).astype(tokens.dtype)

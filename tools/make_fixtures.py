@@ -194,6 +194,21 @@ def main():
     randomize_bn_stats(m, 104)
     save_case("pmg_no_transformer", "pmg", pmg_notx, TASKS_3, m, make_input(5))
 
+    # three strided layers (patch_size=256 -> rf 256/64/16/4) + final 1x1
+    pmg_deep = {
+        "ndf": 8, "patch_size": 256, "patch_div": 2, "gram_channels": 16,
+        "d_model": 32, "transformer_layers": 1, "transformer_heads": 2,
+        "norm": "batch", "use_token_attention": True, "use_channel_attention": False,
+    }
+    torch.manual_seed(6)
+    m = MultiTaskPatchGANGramModelNonOverlapV2(
+        input_nc=3,
+        num_classes_per_task={t: len(c) for t, c in TASKS_3.items()},
+        **pmg_deep,
+    )
+    randomize_bn_stats(m, 106)
+    save_case("pmg_deep_plan", "pmg", pmg_deep, TASKS_3, m, make_input(7))
+
     # ---------------- PM ----------------
     def pm_case(name, seed, hp, tasks):
         torch.manual_seed(seed)
@@ -228,6 +243,8 @@ def main():
         "attn_use_se": True, "attn_softmax_spatial": True, "ablate_attention": False,
     }
     pm_case("pm_small", 10, base_pm, TASKS_3)
+    # default patch_size=70 -> FOUR strided layers + final (deep-plan path)
+    pm_case("pm_deep_plan", 14, {**base_pm, "ndf": 8, "patch_size": 70}, TASKS_3)
     pm_case("pm_batchnorm_sigmoid", 11,
             {**base_pm, "norm": "batch", "attn_softmax_spatial": False}, TASKS_3)
     pm_case("pm_no_se", 12, {**base_pm, "attn_use_se": False}, TASKS_3)
@@ -262,6 +279,11 @@ def main():
     rtm_case("rtm_trunc5_attn", 20, {
         "truncate_layer": 5, "use_attention": True, "attn_token_dim": 64,
         "cls_hidden_dims": (32,), "cls_num_layers": 1,
+    }, TASKS_3)
+    # default attn_token_dim=None -> d == C (the reference's default head)
+    rtm_case("rtm_trunc5_default_dim", 22, {
+        "truncate_layer": 5, "use_attention": True, "attn_token_dim": None,
+        "cls_hidden_dims": (), "cls_num_layers": 0,
     }, TASKS_3)
     rtm_case("rtm_trunc6_gap", 21, {
         "truncate_layer": 6, "use_attention": False, "attn_token_dim": None,

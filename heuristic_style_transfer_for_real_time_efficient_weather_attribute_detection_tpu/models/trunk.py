@@ -73,6 +73,30 @@ def apply_trunk(
     return x
 
 
+def apply_trunk_from_last_conv(
+    params: List[Dict], last_conv_out: jnp.ndarray, plan: Tuple[ConvBlock, ...],
+    norm: str,
+) -> jnp.ndarray:
+    """Finish the trunk from the LAST block's raw conv output (the tensor
+    pytorch_grad_cam hooks — the Conv2d module's output, before its norm and
+    LeakyReLU).  Used by Grad-CAM so attention maps match the reference's
+    target layer exactly (Functions/PMG_evaluation.py:59-64)."""
+    x = apply_norm(last_conv_out, params[-1]["norm"], norm)
+    return leaky_relu(x, 0.2)
+
+
+def trunk_last_conv(
+    params: List[Dict], x: jnp.ndarray, plan: Tuple[ConvBlock, ...], norm: str
+) -> jnp.ndarray:
+    """Run the trunk up to and including the final block's convolution,
+    returning the pre-norm conv output (the reference Grad-CAM target)."""
+    for p, b in zip(params[:-1], plan[:-1]):
+        x = conv2d(x, p["conv"], stride=b.stride, padding=b.pad)
+        x = apply_norm(x, p["norm"], norm)
+        x = leaky_relu(x, 0.2)
+    return conv2d(x, params[-1]["conv"], stride=plan[-1].stride, padding=plan[-1].pad)
+
+
 def apply_trunk_train(
     params: List[Dict],
     x: jnp.ndarray,

@@ -38,19 +38,42 @@ class Explainer:
         self.params = params
         self.dtype = dtype
 
+        # Target activations: the reference hooks the LAST Conv2d module's
+        # output — pre-norm, pre-activation (PMG_evaluation.py:59-64,
+        # PM_evaluation.py:235-242).  PM/PMG expose exactly that tensor; for
+        # RTM (last conv buried inside the final bottleneck) we use the
+        # truncated-backbone output, a standard nearby target.
+        if family in ("pm", "pmg"):
+            from ..models.trunk import apply_trunk_from_last_conv, trunk_last_conv
+
+            def _target_feats(p, x):
+                return trunk_last_conv(p["trunk"], x, spec.plan, spec.norm)
+
+            def _head_from(p, f):
+                feats = apply_trunk_from_last_conv(p["trunk"], f, spec.plan, spec.norm)
+                return self.mod.head_apply(p, feats, spec)[0]
+
+        else:
+
+            def _target_feats(p, x):
+                return self.mod.apply(p, x, spec, capture=("features",))[1]["features"]
+
+            def _head_from(p, f):
+                return self.mod.head_apply(p, f, spec)[0]
+
         @partial(jax.jit, static_argnames=("task_idx",))
         def _gradcam(params, images_u8, class_idx, task_idx):
             x = normalize_uint8(images_u8, dtype)
-            logits, aux = self.mod.apply(params, x, spec, capture=("features",))
-            feats = aux["features"]
+            feats = _target_feats(params, x)
 
             def head_target(f):
-                lg, _ = self.mod.head_apply(params, f, spec)
+                lg = _head_from(params, f)
                 sel = jnp.take_along_axis(
                     lg[:, task_idx, :], class_idx[:, None], axis=-1
                 )
                 return jnp.sum(sel)
 
+            logits = _head_from(params, feats)
             grads = jax.grad(head_target)(feats)  # [B, h, w, C]
             w = jnp.mean(grads, axis=(1, 2), keepdims=True)
             cam = jax.nn.relu(jnp.sum(feats * w, axis=-1))  # [B, h, w]

@@ -106,3 +106,38 @@ def test_checkpoint_key_manifest_roundtrip():
     )
     for k in state:
         assert k.startswith(expect_prefixes), f"unexpected key {k}"
+
+
+@pytest.mark.parametrize("name", ["pmg_tiny_instance_se", "pm_small"])
+def test_gradcam_matches_reference(name):
+    """Grad-CAM parity: fixtures freeze the torch reference's CAM (the
+    pytorch_grad_cam algorithm hooked on the last trunk Conv2d); our
+    last-conv-targeted grad path must reproduce it.  The fixture input is
+    already normalized, so this drives the Explainer's core math directly
+    rather than the uint8 wrapper."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.models.trunk import apply_trunk_from_last_conv, trunk_last_conv
+
+    meta, data, mod, spec, params = load_case(name)
+    if "gradcam/cam" not in data:
+        pytest.skip("no gradcam fixture for this case")
+    x = to_nhwc(data["input"])
+    ti = spec.tasks.names.index(str(data["gradcam/task"]))
+    cls = jnp.asarray(data["gradcam/classes"].astype(np.int32))
+
+    feats = trunk_last_conv(params["trunk"], jnp.asarray(x), spec.plan, spec.norm)
+
+    def head_target(f):
+        ff = apply_trunk_from_last_conv(params["trunk"], f, spec.plan, spec.norm)
+        lg, _ = mod.head_apply(params, ff, spec)
+        return jnp.sum(jnp.take_along_axis(lg[:, ti, :], cls[:, None], axis=-1))
+
+    grads = jax.grad(head_target)(feats)
+    w = jnp.mean(grads, axis=(1, 2), keepdims=True)
+    cam = jax.nn.relu(jnp.sum(feats * w, axis=-1))
+    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+    cam = np.asarray((cam - lo) / jnp.maximum(hi - lo, 1e-7))
+    np.testing.assert_allclose(cam, data["gradcam/cam"], atol=5e-3, rtol=5e-3)

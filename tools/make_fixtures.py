@@ -109,6 +109,27 @@ def randomize_bn_stats(model, seed):
             m.running_var.copy_(torch.rand(m.num_features, generator=g) * 1.5 + 0.2)
 
 
+def gradcam_reference(model, trunk_module, x_nchw, task, class_idx):
+    """Manual Grad-CAM with pytorch_grad_cam's algorithm: hook the LAST
+    Conv2d of the trunk, weights = spatial mean of d(logit)/d(act),
+    cam = relu(sum_c w_c act_c), per-image min-max normalized."""
+    convs = [l for l in trunk_module if isinstance(l, nn.Conv2d)]
+    acts = {}
+    h = convs[-1].register_forward_hook(lambda m, i, o: acts.__setitem__("a", o))
+    try:
+        x = torch.from_numpy(x_nchw).requires_grad_(True)
+        out = model(x)[task]
+        sel = out.gather(1, torch.as_tensor(class_idx)[:, None]).sum()
+        grads = torch.autograd.grad(sel, acts["a"])[0]
+    finally:
+        h.remove()
+    w = grads.mean(dim=(2, 3), keepdim=True)
+    cam = torch.relu((acts["a"] * w).sum(1)).detach().numpy()
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    return (cam - lo) / np.maximum(hi - lo, 1e-7)
+
+
 def make_input(seed, batch=2, size=224):
     rng = np.random.RandomState(seed)
     return rng.randn(batch, 3, size, size).astype(np.float32) * 0.7
@@ -178,7 +199,13 @@ def main():
         num_classes_per_task={t: len(c) for t, c in TASKS_3.items()},
         **pmg_tiny,
     )
-    save_case("pmg_tiny_instance_se", "pmg", pmg_tiny, TASKS_3, m, make_input(3))
+    x3 = make_input(3)
+    m.eval()
+    task0 = list(TASKS_3)[0]
+    cam = gradcam_reference(m, m.feature_extractor, x3, task0, [0, 1])
+    save_case("pmg_tiny_instance_se", "pmg", pmg_tiny, TASKS_3, m, x3,
+              {"gradcam/task": np.array(task0), "gradcam/classes": np.array([0, 1]),
+               "gradcam/cam": cam})
 
     pmg_notx = {
         "ndf": 16, "patch_size": 64, "patch_div": 2, "gram_channels": 24,
@@ -236,6 +263,10 @@ def main():
                 num = (feats * A).sum(dim=(2, 3))  # [B, C]
                 den = A.sum(dim=(2, 3)) + 1e-6  # [B, 1]
                 aux[f"task_emb/{t}"] = (num / den).numpy()
+        task0 = list(tasks)[0]
+        aux["gradcam/task"] = np.array(task0)
+        aux["gradcam/classes"] = np.array([0, 1])
+        aux["gradcam/cam"] = gradcam_reference(m, m.trunk, xs, task0, [0, 1])
         save_case(name, "pm", hp, tasks, m, xs, aux)
 
     base_pm = {

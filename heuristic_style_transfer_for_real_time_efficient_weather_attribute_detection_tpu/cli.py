@@ -250,7 +250,7 @@ def main(argv=None) -> int:
                  save_test_images=args.save_test_images, profile=args.profile)
 
         if args.visualize_gradcam or args.integrated_gradients:
-            _run_explain(args, engine, ds)
+            _run_explain(args, engine, ds, writer)
         if args.style_transfer:
             _run_style_transfer(args, engine, ds)
 
@@ -391,7 +391,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_explain(args, engine, ds):
+def _run_explain(args, engine, ds, writer=None):
     from .workloads.explain import Explainer, ig_heatmap, overlay_cam, save_gradcam_batch
     from .data import BatchLoader
 
@@ -407,6 +407,18 @@ def _run_explain(args, engine, ds):
         if args.visualize_gradcam and args.save_gradcam_images:
             save_gradcam_batch(explainer, images, labels, task, gradcam_dir,
                                batch_idx=bi, cmap=args.colormap)
+        if args.visualize_gradcam and writer is not None and bi == 0:
+            # TensorBoard Grad-CAM image logging (RTM parity,
+            # Functions/RTM_evaluation.py:442-444): first batch's overlays.
+            import numpy as _np
+
+            cam0, logits = explainer.gradcam(
+                images, task, _np.zeros(len(images), "int32"))
+            targets = explainer.resolve_targets(task, labels, logits)
+            cam, _ = explainer.gradcam(images, task, targets)
+            for i in range(min(4, images.shape[0])):
+                over = overlay_cam(images[i], cam[i], args.colormap)
+                writer.add_image(f"GradCAM/{task}/{i}", over, dataformats="HWC")
         if args.integrated_gradients:
             import cv2
 

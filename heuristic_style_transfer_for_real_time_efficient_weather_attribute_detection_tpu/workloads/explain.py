@@ -84,8 +84,8 @@ class Explainer:
 
         self._gradcam = _gradcam
 
-        @partial(jax.jit, static_argnames=("task_idx", "steps"))
-        def _intgrads(params, images_u8, class_idx, task_idx, steps):
+        @partial(jax.jit, static_argnames=("task_idx", "steps", "method"))
+        def _intgrads(params, images_u8, class_idx, task_idx, steps, method):
             x = normalize_uint8(images_u8, dtype)
             baseline = jnp.zeros_like(x)
 
@@ -98,15 +98,24 @@ class Explainer:
 
             gfn = jax.grad(target)
 
-            def body(acc, k):
-                alpha = (k + 1.0) / steps
-                z = baseline + alpha * (x - baseline)
-                return acc + gfn(z), None
+            # captum's IntegratedGradients defaults to Gauss-Legendre
+            # quadrature over [0,1] (method='gausslegendre', n_steps=50);
+            # 'riemann_right' matches its riemann_trapezoid-free variant.
+            if method == "gausslegendre":
+                nodes, weights = np.polynomial.legendre.leggauss(steps)
+                alphas = jnp.asarray((nodes + 1.0) / 2.0, dtype)
+                wts = jnp.asarray(weights / 2.0, dtype)
+            else:  # right Riemann
+                alphas = jnp.arange(1, steps + 1, dtype=dtype) / steps
+                wts = jnp.full((steps,), 1.0 / steps, dtype)
 
-            total, _ = jax.lax.scan(
-                body, jnp.zeros_like(x), jnp.arange(steps, dtype=dtype)
-            )
-            return (x - baseline) * total / steps
+            def body(acc, aw):
+                alpha, w = aw
+                z = baseline + alpha * (x - baseline)
+                return acc + w * gfn(z), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros_like(x), (alphas, wts))
+            return (x - baseline) * total
 
         self._intgrads = _intgrads
 
@@ -140,11 +149,18 @@ class Explainer:
         return np.asarray(cam), np.asarray(logits)
 
     def integrated_gradients(
-        self, images_u8: np.ndarray, task: str, class_idx: np.ndarray, steps: int = 50
+        self,
+        images_u8: np.ndarray,
+        task: str,
+        class_idx: np.ndarray,
+        steps: int = 50,
+        method: str = "gausslegendre",
     ) -> np.ndarray:
         ti = self.spec.tasks.names.index(task)
         return np.asarray(
-            self._intgrads(self.params, images_u8, jnp.asarray(class_idx), ti, steps)
+            self._intgrads(
+                self.params, images_u8, jnp.asarray(class_idx), ti, steps, method
+            )
         )
 
 

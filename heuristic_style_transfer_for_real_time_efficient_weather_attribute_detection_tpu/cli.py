@@ -89,6 +89,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--video_path", type=str, default=None,
                    help="use a video file instead of the webcam")
     p.add_argument("--no_display", action="store_true")
+    p.add_argument("--record", action="store_true",
+                   help="start recording immediately (headless recording; "
+                        "with a display the 'r' key toggles)")
     p.add_argument("--max_frames", type=int, default=None)
     # benchmark
     p.add_argument("--benchmark_folder", type=str)
@@ -347,7 +350,10 @@ def main(argv=None) -> int:
                    save_camera_video=args.save_camera_video,
                    video_path=args.video_path,
                    display=not args.no_display,
-                   max_frames=args.max_frames)
+                   max_frames=args.max_frames,
+                   # headless runs have no 'r' key: --record, or implied by
+                   # asking for video with no display
+                   record=args.record or (args.save_camera_video and args.no_display))
 
     elif args.mode in ("tsne", "tsne_interactive"):
         from .workloads.embed import compute_embeddings, export_interactive_html, perform_tsne
@@ -412,9 +418,7 @@ def _run_explain(args, engine, ds, writer=None):
             # Functions/RTM_evaluation.py:442-444): first batch's overlays.
             import numpy as _np
 
-            cam0, logits = explainer.gradcam(
-                images, task, _np.zeros(len(images), "int32"))
-            targets = explainer.resolve_targets(task, labels, logits)
+            targets = explainer.resolve_targets(task, labels, explainer.logits(images))
             cam, _ = explainer.gradcam(images, task, targets)
             for i in range(min(4, images.shape[0])):
                 over = overlay_cam(images[i], cam[i], args.colormap)
@@ -423,9 +427,8 @@ def _run_explain(args, engine, ds, writer=None):
             import cv2
 
             os.makedirs(ig_dir, exist_ok=True)
-            _, logits = explainer.gradcam(images, task,
-                                          __import__("numpy").zeros(len(images), "int32"))
-            targets = explainer.resolve_targets(task, labels, logits, default_argmax=False)
+            targets = explainer.resolve_targets(
+                task, labels, explainer.logits(images), default_argmax=False)
             attrs = explainer.integrated_gradients(images, task, targets)
             for i in range(images.shape[0]):
                 heat = ig_heatmap(attrs[i])

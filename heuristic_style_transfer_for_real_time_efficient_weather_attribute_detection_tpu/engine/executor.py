@@ -82,7 +82,6 @@ class Engine:
         dtype: jnp.dtype = jnp.float32,
         capture: Sequence[str] = (),
         mesh=None,
-        donate: bool = False,
     ):
         self.family = family
         self.spec = spec

@@ -20,6 +20,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional
 
@@ -55,7 +56,8 @@ class AsyncBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stop = threading.Event()
-        self.latencies: List[float] = []
+        # bounded: long-running servers must not grow host memory per request
+        self.latencies: "deque[float]" = deque(maxlen=100_000)
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -85,7 +87,7 @@ class AsyncBatcher:
     def latency_percentiles(self) -> Dict[str, float]:
         if not self.latencies:
             return {}
-        arr = np.asarray(self.latencies)
+        arr = np.asarray(list(self.latencies))
         return {
             "p50": float(np.percentile(arr, 50)),
             "p90": float(np.percentile(arr, 90)),
@@ -98,7 +100,12 @@ class AsyncBatcher:
 
     def _collect(self) -> List[_Request]:
         """Block for one request, then drain (bounded) whatever arrived while
-        we were dispatching, waiting at most max_wait for stragglers."""
+        we were dispatching, waiting at most max_wait for stragglers.
+
+        Once the deadline passes we only take what is immediately available
+        (get_nowait) — a blocking get(timeout=None) here would hold the
+        partial batch's futures hostage until an unrelated request arrived.
+        """
         first = self._queue.get()
         if first is None:
             return []
@@ -107,15 +114,16 @@ class AsyncBatcher:
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             try:
-                nxt = self._queue.get(timeout=max(remaining, 0) if remaining > 0 else None)
+                if remaining > 0:
+                    nxt = self._queue.get(timeout=remaining)
+                else:
+                    nxt = self._queue.get_nowait()
             except queue.Empty:
                 break
             if nxt is None:
                 self._queue.put(None)  # re-signal shutdown for the outer loop
                 break
             batch.append(nxt)
-            if remaining <= 0:
-                break
         return batch
 
     def _dispatch_loop(self) -> None:

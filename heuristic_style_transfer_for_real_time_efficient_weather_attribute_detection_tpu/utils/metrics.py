@@ -93,6 +93,8 @@ def _roc_analysis(
     auc_macro = auc_micro = None
     auc_per_class: Dict[str, float] = {}
     roc_png = None
+    if roc_dir:
+        os.makedirs(roc_dir, exist_ok=True)  # before any savefig below
     if probs.shape[0] == 0:
         return auc_macro, auc_micro, auc_per_class, roc_png
 
@@ -161,7 +163,6 @@ def _roc_analysis(
                     plt.tight_layout(); plt.savefig(roc_png, dpi=150); plt.close()
 
     if roc_dir:
-        os.makedirs(roc_dir, exist_ok=True)
         with open(os.path.join(roc_dir, f"{task}_roc_data.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["curve_type", "class_name", "fpr", "tpr"])

@@ -35,6 +35,13 @@ _CAPTURE_FOR_KIND = {
     "pooled": ("pooled",),
 }
 
+# Which embedding taps each family's apply() actually exposes.
+_FAMILY_KINDS = {
+    "pmg": {"logits", "pooled"},
+    "pm": {"logits", "task", "shared"},
+    "rtm": {"logits", "task", "shared"},
+}
+
 
 def compute_embeddings(
     engine: Engine, loader, kind: str = "logits", per_task: bool = True
@@ -46,6 +53,12 @@ def compute_embeddings(
     capture-enabled engine is built on the same params (one extra compile).
     """
     tasks = engine.tasks
+    supported = _FAMILY_KINDS.get(engine.family, {"logits"})
+    if kind not in supported:
+        raise ValueError(
+            f"embedding kind {kind!r} is not exposed by the {engine.family!r} "
+            f"family (supported: {sorted(supported)})"
+        )
     capture = _CAPTURE_FOR_KIND[kind]
     if any(c not in engine.capture for c in capture):
         engine = Engine(

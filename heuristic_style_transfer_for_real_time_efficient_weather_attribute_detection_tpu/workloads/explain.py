@@ -119,6 +119,14 @@ class Explainer:
 
         self._intgrads = _intgrads
 
+        @jax.jit
+        def _logits(params, images_u8):
+            x = normalize_uint8(images_u8, dtype)
+            lg, _ = self.mod.apply(params, x, spec)
+            return lg
+
+        self._logits = _logits
+
     # -- public ------------------------------------------------------------
 
     def resolve_targets(
@@ -137,6 +145,11 @@ class Explainer:
         lab = labels[:, ti]
         valid = (lab != IGNORE_INDEX) & (lab >= 0)
         return np.where(valid, lab, fallback).astype(np.int32)
+
+    def logits(self, images_u8: np.ndarray) -> np.ndarray:
+        """Plain forward [B, T, Kmax] (no gradient work) — for resolving
+        Grad-CAM/IG target classes."""
+        return np.asarray(self._logits(self.params, images_u8))
 
     def gradcam(
         self, images_u8: np.ndarray, task: str, class_idx: np.ndarray
@@ -207,12 +220,10 @@ def save_gradcam_batch(
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
-    # First pass for logits (target resolution), then cams.
+    # Plain forward for target resolution (no throwaway gradient pass).
     ti = explainer.spec.tasks.names.index(task)
     names = explainer.spec.tasks.class_names[ti]
-    cam0, logits = explainer.gradcam(
-        images_u8, task, np.zeros(images_u8.shape[0], np.int32)
-    )
+    logits = explainer.logits(images_u8)
     targets = explainer.resolve_targets(task, labels, logits)
     cam, _ = explainer.gradcam(images_u8, task, targets)
     for i in range(images_u8.shape[0]):

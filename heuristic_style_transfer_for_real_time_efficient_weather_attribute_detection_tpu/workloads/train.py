@@ -22,12 +22,11 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from ..config import IGNORE_INDEX
+from ..config import IGNORE_INDEX, IMAGENET_MEAN, IMAGENET_STD
 from ..data.dataset import BatchLoader, MultiTaskDataset
 from ..engine import checkpoint
 from ..engine.executor import Engine
 from ..models import get_family
-from ..ops.preprocess import normalize_uint8
 from ..parallel.train import (
     TrainState,
     compute_class_weights,
@@ -51,6 +50,10 @@ DEFAULT_OPTIONS: Dict[str, Any] = {
     "seed": 0,
     "shuffle_each_epoch": True,
     "num_workers": 4,
+    # None = auto (cache decoded images in host RAM when they fit the budget,
+    # else stream-decode per batch each epoch)
+    "cache_in_memory": None,
+    "cache_budget_bytes": 4 << 30,
 }
 
 
@@ -101,15 +104,27 @@ def fit(
     if len(train_idx) == 0:
         raise ValueError("empty training split")
 
-    # Pre-decode everything once for small datasets; stream for large ones.
-    loader = BatchLoader(ds, batch_size=opts["batch_size"],
-                         num_workers=opts["num_workers"])
-    all_imgs, all_labels = [], []
-    for imgs, labels, _ in loader:
-        all_imgs.append(imgs)
-        all_labels.append(labels)
-    all_imgs = np.concatenate(all_imgs)
-    all_labels = np.concatenate(all_labels)
+    # Pre-decode into a host cache when it fits (default budget 4 GB);
+    # otherwise stream decode per batch from disk each epoch.
+    img_bytes = ds.img_size * ds.img_size * 3
+    cache = opts.get("cache_in_memory")
+    if cache is None:
+        cache = n * img_bytes <= opts.get("cache_budget_bytes", 4 << 30)
+    all_labels = np.stack([lab for _, lab in ds.samples])
+    cached_imgs = None
+    if cache:
+        loader = BatchLoader(ds, batch_size=opts["batch_size"],
+                             num_workers=opts["num_workers"])
+        chunks = [imgs for imgs, _, _ in loader]
+        cached_imgs = np.concatenate(chunks)
+
+    def fetch(idx: np.ndarray) -> np.ndarray:
+        if cached_imgs is not None:
+            return cached_imgs[idx]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=opts["num_workers"]) as pool:
+            return np.stack(list(pool.map(lambda i: ds.load(int(i))[0], idx)))
 
     class_weights = None
     if opts["balance_loss"]:
@@ -135,27 +150,33 @@ def fit(
     bs = opts["batch_size"]
     history = []
     best_f1, best_params = -1.0, state.params
-    val_imgs = all_imgs[val_idx] if n_val else all_imgs[train_idx[: min(64, len(train_idx))]]
-    val_labels = all_labels[val_idx] if n_val else all_labels[train_idx[: min(64, len(train_idx))]]
+    eval_idx = val_idx if n_val else train_idx[: min(64, len(train_idx))]
+    val_imgs, val_labels = fetch(eval_idx), all_labels[eval_idx]
+    # One compiled eval engine for all epochs (params swap without retrace:
+    # they are a traced argument of the jitted step).
+    eval_engine = Engine(family, spec, state.params,
+                         batch_size=min(bs, 64), prob_threshold=0.0)
+
+    def _host_normalize(u8: np.ndarray) -> np.ndarray:
+        # host-side ImageNet normalize: keeps the train step's H2D to one
+        # float transfer instead of a device normalize + D2H + H2D bounce
+        scale = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
+        shift = np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
+        return u8.astype(np.float32) * scale - shift
 
     for epoch in range(opts["epochs"]):
         order = rng.permutation(train_idx) if opts["shuffle_each_epoch"] else train_idx
+        if len(order) < bs:
+            order = np.resize(order, bs)  # tile small datasets to one batch
         losses = []
         t0 = time.perf_counter()
         for s in range(0, len(order) - bs + 1, bs):
             idx = order[s : s + bs]
-            images = normalize_uint8(all_imgs[idx]).astype(np.float32)
-            state, loss = step_fn(state, np.asarray(images), all_labels[idx])
-            losses.append(float(loss))
-        if not losses:  # dataset smaller than one batch: train on all, padded
-            pad = bs - len(order)
-            idx = np.concatenate([order, order[: pad]]) if pad > 0 else order
-            images = normalize_uint8(all_imgs[idx]).astype(np.float32)
-            state, loss = step_fn(state, np.asarray(images), all_labels[idx])
+            images = _host_normalize(fetch(idx))
+            state, loss = step_fn(state, images, all_labels[idx])
             losses.append(float(loss))
 
-        eval_engine = Engine(family, spec, state.params,
-                             batch_size=min(bs, 64), prob_threshold=0.0)
+        eval_engine.params = state.params
         val_f1 = _val_overall_f1(eval_engine, val_imgs, val_labels)
         entry = {
             "epoch": epoch,

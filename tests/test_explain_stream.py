@@ -168,3 +168,34 @@ def test_embeddings_and_tsne(tmp_path, model):
         str(tmp_path / "viz" / "tsne.html"),
     )
     assert os.path.getsize(html) > 1000
+
+
+def test_headless_recording_writes_video(model, tmp_path):
+    """Regression: --save_camera_video with no display must still record
+    (record=True starts immediately; the 'r' key needs a window)."""
+    import cv2
+
+    from wadt.workloads.stream import run_camera
+
+    spec, params = model
+    vid = str(tmp_path / "in2.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 5.0, (64, 48))
+    rng = np.random.RandomState(2)
+    for _ in range(4):
+        w.write(rng.randint(0, 256, (48, 64, 3), np.uint8))
+    w.release()
+    out = tmp_path / "cam2"
+    run_camera("pmg", spec, params, str(out), video_path=vid, display=False,
+               save_camera_video=True, record=True, max_frames=3)
+    vids = [f for f in os.listdir(out) if f.endswith(".avi")]
+    assert len(vids) == 1 and os.path.getsize(out / vids[0]) > 1000
+
+
+def test_embedding_kind_validation(model):
+    from wadt.engine.executor import Engine
+    from wadt.workloads.embed import compute_embeddings
+
+    spec, params = model
+    eng = Engine("pmg", spec, params, batch_size=4)
+    with pytest.raises(ValueError, match="not exposed"):
+        compute_embeddings(eng, [], kind="task")

@@ -65,3 +65,22 @@ def test_async_shutdown_rejects(engine):
     ab.close()
     with pytest.raises(RuntimeError):
         ab.submit(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_async_zero_wait_single_request_resolves(engine):
+    """Regression: with max_wait_ms=0, a lone request must not deadlock
+    waiting for a second one (the dispatcher used to block on an expired
+    deadline with timeout=None)."""
+    with AsyncBatcher(engine, max_wait_ms=0.0) as ab:
+        res = ab.predict(
+            np.random.RandomState(0).randint(0, 256, (32, 32, 3), np.uint8),
+            timeout=30,
+        )
+        assert res["preds"].shape == (2,)
+
+
+def test_latencies_bounded(engine):
+    from collections import deque
+
+    with AsyncBatcher(engine) as ab:
+        assert isinstance(ab.latencies, deque) and ab.latencies.maxlen

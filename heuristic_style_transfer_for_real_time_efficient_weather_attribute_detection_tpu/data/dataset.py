@@ -143,6 +143,7 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         img_size: int = DEFAULT_IMG_SIZE,
+        skip_errors: bool = False,
     ):
         if isinstance(dataset, (list, tuple)):  # bare path list, no labels
             self.paths = list(dataset)
@@ -155,6 +156,17 @@ class BatchLoader:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.prefetch = prefetch
+        # skip_errors: drop undecodable images with a warning instead of
+        # raising — the reference's folder/watch resilience
+        # (Functions/RTM_evaluation.py:793-797).
+        self.skip_errors = skip_errors
+
+    def _loadfn_safe(self, i: int):
+        try:
+            return self._loadfn(i)
+        except Exception as e:  # noqa: BLE001
+            print(f"Warning: skipping unreadable image {self.paths[i]}: {e}")
+            return None
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -165,19 +177,32 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for s in range(0, n, self.batch_size):
-                    if stop.is_set():
-                        break
-                    idxs = range(s, min(s + self.batch_size, n))
-                    items = list(pool.map(self._loadfn, idxs))
-                    imgs = np.stack([it[0] for it in items])
-                    labels = (
-                        np.stack([it[1] for it in items])
-                        if items[0][1] is not None
-                        else None
-                    )
-                    q.put((imgs, labels, [self.paths[i] for i in idxs]))
+            # A decode failure must reach the consumer — a dead producer with
+            # no sentinel would block the consumer's q.get() forever.
+            try:
+                loadfn = self._loadfn_safe if self.skip_errors else self._loadfn
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for s in range(0, n, self.batch_size):
+                        if stop.is_set():
+                            return
+                        idxs = list(range(s, min(s + self.batch_size, n)))
+                        items = list(pool.map(loadfn, idxs))
+                        if self.skip_errors:
+                            kept = [(i, it) for i, it in zip(idxs, items) if it is not None]
+                            if not kept:
+                                continue
+                            idxs = [i for i, _ in kept]
+                            items = [it for _, it in kept]
+                        imgs = np.stack([it[0] for it in items])
+                        labels = (
+                            np.stack([it[1] for it in items])
+                            if items[0][1] is not None
+                            else None
+                        )
+                        q.put((imgs, labels, [self.paths[i] for i in idxs]))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -187,6 +212,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -66,14 +66,23 @@ def annotate_and_save(img: Image.Image, lines: Sequence[str], out_path: str) -> 
 
 
 def _predict_batched(engine: Engine, paths: List[str], num_workers: int = 4):
-    """Batched device inference over arbitrary paths -> probs [N, T, Kmax]."""
-    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers)
-    chunks = [engine.run(imgs, collect=("probs",))["probs"] for imgs, _, _ in loader]
-    return (
+    """Batched device inference over arbitrary paths.
+
+    Returns (probs [N', T, Kmax], kept_paths) — unreadable images are skipped
+    with a warning (reference resilience, Functions/RTM_evaluation.py:793-797).
+    """
+    loader = BatchLoader(paths, batch_size=engine.batch_size,
+                         num_workers=num_workers, skip_errors=True)
+    chunks, kept = [], []
+    for imgs, _, batch_paths in loader:
+        chunks.append(engine.run(imgs, collect=("probs",))["probs"])
+        kept.extend(batch_paths)
+    probs = (
         np.concatenate(chunks)
         if chunks
         else np.zeros((0, len(engine.tasks), engine.tasks.max_classes))
     )
+    return probs, kept
 
 
 def _pred_entry(engine: Engine, probs_row: np.ndarray) -> Dict[str, Dict]:
@@ -121,7 +130,7 @@ def run_inference(
     if num_samples and num_samples < len(paths):
         paths = random.sample(paths, num_samples)
 
-    probs = _predict_batched(engine, paths, num_workers)
+    probs, paths = _predict_batched(engine, paths, num_workers)
     results = {}
     for i, path in enumerate(paths):
         preds = _pred_entry(engine, probs[i])
@@ -198,7 +207,7 @@ def test_folder_predictions(
     folder_task = target_task or tasks.names[0]
 
     paths = collect_image_paths(test_folder)
-    probs = _predict_batched(engine, paths, num_workers)
+    probs, paths = _predict_batched(engine, paths, num_workers)
 
     results: Dict[str, Dict] = {}
     predictions_by_task = {t: {} for t in eval_tasks}

@@ -210,3 +210,78 @@ def test_sensor_truth_rules():
     assert derive_truth(rules, "Weather Type", {"rain_mm": 0.0, "visibility_m": 100}) == "Fog"
     assert derive_truth(rules, "Weather Type", {"rain_mm": 0.0, "visibility_m": 500}) == "Clear"
     assert derive_truth(rules, "Weather Type", {}) == "Clear"
+
+
+def test_watch_folder_sensor_metrics(synth, engine, tmp_path):
+    """End-to-end rolling service metrics: sensor annotations + truth rules
+    -> performance.json + performance_history.csv after metrics_every images
+    (Functions/PM_evaluation.py:1017-1043)."""
+    from PIL import Image
+
+    from wadt.workloads.inference import WatchFolderService
+
+    watch = tmp_path / "w2"
+    ann = tmp_path / "ann"
+    watch.mkdir(); ann.mkdir()
+    rules = {
+        "Weather Type": {
+            "default": "Clear",
+            "rules": [{"class": "Rain",
+                       "when": [{"sensor": "rain_mm", "op": "gt", "value": 0.5}]}],
+        }
+    }
+    rules_path = tmp_path / "rules.json"
+    json.dump(rules, open(rules_path, "w"))
+    svc = WatchFolderService(
+        engine, [str(watch)], [0.1], str(tmp_path / "out2"),
+        truth_mapping_path=str(rules_path), annotations_folder=str(ann),
+        metrics_every=2,
+    )
+    svc.start(block=False)
+    rng = np.random.RandomState(0)
+    sub = tmp_path / "out2" / "w2"
+    for i in range(3):
+        name = f"2026-08-16_12-00-0{i}"
+        json.dump({"sensorValues": [{"name": "rain_mm", "value": float(i)}]},
+                  open(ann / f"{name}.json", "w"))
+        Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
+            watch / f"{name}.jpg")
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if (sub / "last_prediction.json").exists() and json.load(
+                open(sub / "last_prediction.json"))["image"] == f"{name}.jpg":
+                break
+            time.sleep(0.1)
+    deadline = time.time() + 20
+    while time.time() < deadline and not (sub / "performance.json").exists():
+        time.sleep(0.2)
+    svc.stop()
+    perf = json.load(open(sub / "performance.json"))
+    assert "global_f1" in perf and "Weather Type_f1" in perf
+    assert (sub / "performance_history.csv").exists()
+
+
+def test_folder_predictions_skips_corrupt_image(synth, engine, tmp_path):
+    """Unreadable images are skipped with a warning, not a crash (reference
+    behavior: Functions/RTM_evaluation.py:793-797)."""
+    import shutil
+
+    from wadt.workloads.inference import run_inference
+
+    tree = tmp_path / "tree"
+    shutil.copytree(os.path.join(synth, "images"), tree)
+    (tree / "sun" / "corrupt.jpg").write_bytes(b"not an image at all")
+    res = run_inference(engine, str(tree), save_dir=str(tmp_path / "o"))
+    assert len(res) == 12  # 12 good images, corrupt one skipped
+    assert not any("corrupt" in p for p in res)
+
+
+def test_batchloader_raises_cleanly_on_decode_error(tmp_path):
+    """Without skip_errors, a decode failure must RAISE in the consumer, not
+    hang it (regression: dead producer left the consumer blocked forever)."""
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"junk")
+    loader = BatchLoader([str(bad)], batch_size=1, num_workers=1)
+    with pytest.raises(Exception):
+        for _ in loader:
+            pass

@@ -93,6 +93,13 @@ class Engine:
         self._mod = get_family(family)
         self._mask = jnp.asarray(class_mask(self.tasks))
         self.mesh = mesh
+        if dtype != jnp.float32:
+            # low-precision mode: params must match activation dtype
+            # (conv/matmul operands need uniform dtypes; accumulation stays
+            # f32 via preferred_element_type)
+            from ..ops.nn import cast_tree
+
+            params = cast_tree(params, dtype)
 
         def _step(params, images, labels):
             x = normalize_uint8(images, dtype)

@@ -1,0 +1,101 @@
+"""Coverage for remaining paths: group norm math, accum-steps training,
+bf16 engine, gray-init style transfer, TaskSpec.split_logits."""
+
+import numpy as np
+import pytest
+
+import wadt  # noqa: F401
+from wadt.config import TaskSpec
+from wadt.models import pmg
+
+TINY = dict(
+    ndf=8, patch_size=64, patch_div=2, gram_channels=16, d_model=32,
+    transformer_layers=1, transformer_heads=2, norm="batch",
+)
+TASKS = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+
+
+def test_group_norm_matches_manual():
+    import jax.numpy as jnp
+
+    from wadt.ops.norms import group_norm
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32)
+    p = {"scale": jnp.asarray(rng.rand(8).astype(np.float32) + 0.5),
+         "bias": jnp.asarray(rng.randn(8).astype(np.float32))}
+    got = np.asarray(group_norm(jnp.asarray(x), p, num_groups=2))
+    # manual: stats per (sample, group of 4 channels) over H,W,Cg
+    want = np.empty_like(x)
+    for b in range(2):
+        for g in range(2):
+            sl = x[b, :, :, g * 4 : (g + 1) * 4]
+            m, v = sl.mean(), sl.var()
+            want[b, :, :, g * 4 : (g + 1) * 4] = (sl - m) / np.sqrt(v + 1e-5)
+    want = want * np.asarray(p["scale"]) + np.asarray(p["bias"])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_accum_steps_updates_every_k():
+    import jax
+
+    from wadt.parallel.train import make_optimizer, make_train_step
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params0 = pmg.init(jax.random.PRNGKey(0), spec)
+    opt = make_optimizer(lr=1e-2, accum_steps=2, params_template=params0)
+    init_fn, step_fn = make_train_step("pmg", spec, opt, bn_train=False)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(4, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (4, 2)).astype(np.int32)
+    q0 = np.asarray(state.params["queries"])
+    state, _ = step_fn(state, imgs, labels)
+    # first micro-step: gradients accumulated, params unchanged
+    np.testing.assert_array_equal(q0, np.asarray(state.params["queries"]))
+    state, _ = step_fn(state, imgs, labels)
+    assert not np.allclose(q0, np.asarray(state.params["queries"]))
+
+
+def test_engine_bf16_smoke():
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.engine.executor import Engine
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("CPU XLA lacks bf16xbf16=f32 dots; bf16 mode is TPU-only")
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    eng32 = Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0)
+    eng16 = Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0,
+                   dtype=jnp.bfloat16)
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 64, 64, 3), np.uint8)
+    a = eng32.run(imgs, collect=("preds",))["preds"]
+    b = eng16.run(imgs, collect=("preds",))["preds"]
+    # bf16 activations keep argmax on this tiny model
+    assert (a == b).mean() > 0.7
+
+
+def test_style_transfer_gray_init():
+    from wadt.workloads.style_transfer import run_patch_gram_style_transfer
+
+    spec = pmg.build_spec(TASKS, TINY)
+    import jax
+
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    style = np.random.RandomState(1).randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    img, loss, iters = run_patch_gram_style_transfer(
+        params, spec, style, num_iterations=3, lr=0.05, init_type="gray",
+        target_loss=0.0, log_every=0,
+    )
+    assert np.isfinite(loss) and img.size == (64, 64)
+
+
+def test_taskspec_split_logits():
+    spec = TaskSpec.from_tasks(TASKS)
+    stacked = np.arange(2 * 2 * 3).reshape(2, 2, 3).astype(np.float32)
+    d = spec.split_logits(stacked)
+    assert d["A"].shape == (2, 3) and d["B"].shape == (2, 2)
+    np.testing.assert_array_equal(d["B"], stacked[:, 1, :2])

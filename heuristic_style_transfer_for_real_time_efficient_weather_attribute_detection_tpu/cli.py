@@ -351,9 +351,7 @@ def main(argv=None) -> int:
                    video_path=args.video_path,
                    display=not args.no_display,
                    max_frames=args.max_frames,
-                   # headless runs have no 'r' key: --record, or implied by
-                   # asking for video with no display
-                   record=args.record or (args.save_camera_video and args.no_display))
+                   record=args.record)  # headless implication lives in run_camera
 
     elif args.mode in ("tsne", "tsne_interactive"):
         from .workloads.embed import compute_embeddings, export_interactive_html, perform_tsne

@@ -93,13 +93,6 @@ class Engine:
         self._mod = get_family(family)
         self._mask = jnp.asarray(class_mask(self.tasks))
         self.mesh = mesh
-        if dtype != jnp.float32:
-            # low-precision mode: params must match activation dtype
-            # (conv/matmul operands need uniform dtypes; accumulation stays
-            # f32 via preferred_element_type)
-            from ..ops.nn import cast_tree
-
-            params = cast_tree(params, dtype)
 
         def _step(params, images, labels):
             x = normalize_uint8(images, dtype)
@@ -128,10 +121,28 @@ class Engine:
                 _step,
                 in_shardings=(replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)),
             )
-            self.params = jax.device_put(params, replicated(mesh))
+            params = jax.device_put(params, replicated(mesh))
         else:
             self._jit = jax.jit(_step)
-            self.params = params
+        self.params = params  # property setter derives the run-precision copy
+
+    # ``params`` stays at the caller's precision (Explainer / StreamPredictor
+    # / train warm-start all consume it as f32); a low-precision run copy is
+    # derived for the compiled step only.  Re-assigning params (the trainer
+    # swaps in fresh weights each epoch) re-derives it without retracing.
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, p):
+        self._params = p
+        if self.dtype != jnp.float32:
+            from ..ops.nn import cast_tree
+
+            self._run_params = cast_tree(p, self.dtype)
+        else:
+            self._run_params = p
 
     # -- low-level -------------------------------------------------------
 
@@ -141,7 +152,7 @@ class Engine:
             labels = np.full(
                 (images.shape[0], len(self.tasks)), IGNORE_INDEX, np.int32
             )
-        return self._jit(self.params, images, labels)
+        return self._jit(self._run_params, images, labels)
 
     def warmup(self, img_size: int = 224) -> None:
         z = np.zeros((self.batch_size, img_size, img_size, 3), np.uint8)

@@ -83,6 +83,18 @@ def normalize_uint8(
     return (x.astype(dtype) * jnp.asarray(scale, dtype) - jnp.asarray(shift, dtype))
 
 
+_HOST_SCALE = (1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))).astype(np.float32)
+_HOST_SHIFT = (
+    np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
+).astype(np.float32)
+
+
+def normalize_uint8_host(x: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) twin of ``normalize_uint8`` — same folded affine,
+    for callers feeding pre-normalized floats to a jitted step."""
+    return x.astype(np.float32) * _HOST_SCALE - _HOST_SHIFT
+
+
 def denormalize(x: jnp.ndarray) -> jnp.ndarray:
     """Normalized float NHWC -> [0,1] float NHWC (for overlays/exports)."""
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype)

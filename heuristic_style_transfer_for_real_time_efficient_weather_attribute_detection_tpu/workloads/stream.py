@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Iterator, Optional
 
@@ -126,13 +127,23 @@ def run_camera(
     box_top = y0 - max(h for _, h in sizes) - pad_y
     box_bottom = y0 + (len(tasks_dict) - 1) * y_step + pad_y
 
+    if display and sys.platform.startswith("linux") and not (
+        os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+    ):
+        # cv2's Qt backend ABORTS the process (not a catchable cv2.error) on
+        # X-less Linux — detect headless up front instead of trying the window.
+        print("[camera] no display server detected; running headless")
+        display = False
     if display:
         try:
             cv2.namedWindow("Camera", cv2.WINDOW_NORMAL)
         except cv2.error:
             display = False
 
-    recording = record
+    # Without a display there is no 'r' key: if the user asked for video,
+    # record from the start.  Decided here (after the namedWindow fallback)
+    # so an X-less box without --no_display still records.
+    recording = record or (save_camera_video and not display)
     writer = None
     fullscreen = False
     times = []

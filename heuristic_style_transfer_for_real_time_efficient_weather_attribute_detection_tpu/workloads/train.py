@@ -22,11 +22,12 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from ..config import IGNORE_INDEX, IMAGENET_MEAN, IMAGENET_STD
+from ..config import IGNORE_INDEX
 from ..data.dataset import BatchLoader, MultiTaskDataset
 from ..engine import checkpoint
 from ..engine.executor import Engine
 from ..models import get_family
+from ..ops.preprocess import normalize_uint8_host
 from ..parallel.train import (
     TrainState,
     compute_class_weights,
@@ -112,19 +113,38 @@ def fit(
         cache = n * img_bytes <= opts.get("cache_budget_bytes", 4 << 30)
     all_labels = np.stack([lab for _, lab in ds.samples])
     cached_imgs = None
+    decode_pool = None
     if cache:
         loader = BatchLoader(ds, batch_size=opts["batch_size"],
                              num_workers=opts["num_workers"])
         chunks = [imgs for imgs, _, _ in loader]
         cached_imgs = np.concatenate(chunks)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        decode_pool = ThreadPoolExecutor(max_workers=opts["num_workers"])
+        # Streaming mode: the validation split must respect the RAM budget
+        # too — cap how many images we hold resident for per-epoch eval.
+        max_eval = max(1, opts["cache_budget_bytes"] // (4 * img_bytes))
+        if n_val > max_eval:
+            print(f"[fit] capping resident validation set {n_val} -> {max_eval} "
+                  f"(streaming mode RAM budget)")
+            val_idx = val_idx[:max_eval]
+            n_val = max_eval
 
     def fetch(idx: np.ndarray) -> np.ndarray:
         if cached_imgs is not None:
             return cached_imgs[idx]
-        from concurrent.futures import ThreadPoolExecutor
+        return np.stack(
+            list(decode_pool.map(lambda i: ds.load(int(i))[0], idx))
+        )
 
-        with ThreadPoolExecutor(max_workers=opts["num_workers"]) as pool:
-            return np.stack(list(pool.map(lambda i: ds.load(int(i))[0], idx)))
+    def fetch_async(idx: np.ndarray):
+        """Overlap next-batch decode with the current device step."""
+        if cached_imgs is not None:
+            return lambda: cached_imgs[idx]
+        futs = [decode_pool.submit(lambda i=i: ds.load(int(i))[0]) for i in idx]
+        return lambda: np.stack([f.result() for f in futs])
 
     class_weights = None
     if opts["balance_loss"]:
@@ -157,22 +177,20 @@ def fit(
     eval_engine = Engine(family, spec, state.params,
                          batch_size=min(bs, 64), prob_threshold=0.0)
 
-    def _host_normalize(u8: np.ndarray) -> np.ndarray:
-        # host-side ImageNet normalize: keeps the train step's H2D to one
-        # float transfer instead of a device normalize + D2H + H2D bounce
-        scale = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
-        shift = np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
-        return u8.astype(np.float32) * scale - shift
-
     for epoch in range(opts["epochs"]):
         order = rng.permutation(train_idx) if opts["shuffle_each_epoch"] else train_idx
         if len(order) < bs:
             order = np.resize(order, bs)  # tile small datasets to one batch
         losses = []
         t0 = time.perf_counter()
-        for s in range(0, len(order) - bs + 1, bs):
+        starts = list(range(0, len(order) - bs + 1, bs))
+        pending = fetch_async(order[starts[0] : starts[0] + bs]) if starts else None
+        for si, s in enumerate(starts):
             idx = order[s : s + bs]
-            images = _host_normalize(fetch(idx))
+            images = normalize_uint8_host(pending())
+            if si + 1 < len(starts):  # decode next batch during this step
+                nxt = starts[si + 1]
+                pending = fetch_async(order[nxt : nxt + bs])
             state, loss = step_fn(state, images, all_labels[idx])
             losses.append(float(loss))
 
@@ -207,6 +225,8 @@ def fit(
         json.dump(sidecar, f, indent=2)
     with open(os.path.join(save_dir, "training_history.json"), "w") as f:
         json.dump(history, f, indent=2)
+    if decode_pool is not None:
+        decode_pool.shutdown()
     return {"params": best_params, "history": history, "best_f1": best_f1,
             "ckpt_dir": ckpt_dir}
 

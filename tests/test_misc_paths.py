@@ -57,6 +57,25 @@ def test_accum_steps_updates_every_k():
     assert not np.allclose(q0, np.asarray(state.params["queries"]))
 
 
+def test_engine_bf16_params_stay_f32():
+    """bf16 mode must not leak low-precision params through engine.params
+    (StreamPredictor/Explainer/train warm-start consume it as f32); the cast
+    copy is internal.  CPU-runnable: no bf16 dot is executed."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    from wadt.engine.executor import Engine
+
+    eng = Engine("pmg", spec, params, batch_size=4, dtype=jnp.bfloat16)
+    assert eng.params["queries"].dtype == jnp.float32
+    assert eng._run_params["queries"].dtype == jnp.bfloat16
+    # params swap re-derives the run copy
+    eng.params = pmg.init(jax.random.PRNGKey(1), spec)
+    assert eng._run_params["heads"]["w"].dtype == jnp.bfloat16
+
+
 def test_engine_bf16_smoke():
     import jax
     import jax.numpy as jnp
@@ -64,7 +83,7 @@ def test_engine_bf16_smoke():
     from wadt.engine.executor import Engine
 
     if jax.default_backend() == "cpu":
-        pytest.skip("CPU XLA lacks bf16xbf16=f32 dots; bf16 mode is TPU-only")
+        pytest.skip("CPU XLA lacks bf16xbf16=f32 dots; bf16 execution is TPU-only")
 
     spec = pmg.build_spec(TASKS, TINY)
     params = pmg.init(jax.random.PRNGKey(0), spec)

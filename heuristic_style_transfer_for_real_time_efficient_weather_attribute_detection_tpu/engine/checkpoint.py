@@ -533,12 +533,49 @@ def save_torch_checkpoint(family: str, params, spec, path: str) -> None:
 _CONVERTERS = {"pmg": convert_pmg, "pm": convert_pm, "rtm": convert_rtm}
 
 
-def convert(family: str, state: StateDict, spec) -> Dict[str, Any]:
-    return _CONVERTERS[family.lower()](state, spec)
+def convert(
+    family: str, state: StateDict, spec, strict: bool = True, init_key: int = 0
+) -> Dict[str, Any]:
+    """State dict -> param pytree.
+
+    ``strict=False`` reproduces the reference loaders' fallback
+    (utils/PMG/PMG_model_utils.py:186-196): missing tensors come from a fresh
+    initialization, unexpected ones are ignored, and both lists are printed.
+    """
+    family = family.lower()
+    if strict:
+        return _CONVERTERS[family](state, spec)
+    import jax
+
+    from ..models import get_family
+
+    init_params = get_family(family).init(jax.random.PRNGKey(init_key), spec)
+    full = export_state_dict(family, init_params, spec)
+    missing = [k for k in full if k not in state]
+    unexpected = [
+        k for k in state if k not in full and "num_batches_tracked" not in k
+    ]
+    if missing:
+        print(f"[load] Missing keys ({len(missing)}): {missing[:8]}"
+              f"{' ...' if len(missing) > 8 else ''}")
+    if unexpected:
+        print(f"[load] Unexpected keys ({len(unexpected)}): {unexpected[:8]}"
+              f"{' ...' if len(unexpected) > 8 else ''}")
+    merged = {**full, **{k: v for k, v in state.items() if k in full}}
+    return _CONVERTERS[family](merged, spec)
 
 
-def load_torch_checkpoint(family: str, path: str, spec) -> Dict[str, Any]:
-    return convert(family, load_state_dict(path), spec)
+def load_torch_checkpoint(
+    family: str, path: str, spec, strict: bool = True
+) -> Dict[str, Any]:
+    state = load_state_dict(path)
+    try:
+        return convert(family, state, spec, strict=True)
+    except KeyError:
+        if strict:
+            raise
+        print("[WARN] strict conversion failed, falling back to strict=False")
+        return convert(family, state, spec, strict=False)
 
 
 def save_native(params, path: str) -> None:

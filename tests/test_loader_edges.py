@@ -131,3 +131,31 @@ def test_embedding_capture_auto_upgrade():
         engine, BatchLoader(ds, batch_size=4, num_workers=2), kind="task"
     )
     assert embs["Weather Type"].shape[0] == 8
+
+
+def test_nonstrict_conversion_fills_missing_keys(capsys):
+    """strict=False: missing tensors come from fresh init + a key report
+    (reference fallback, utils/PMG/PMG_model_utils.py:186-196)."""
+    import jax
+    import numpy as np
+
+    from wadt.models import pmg
+
+    hp = dict(ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+              transformer_layers=1, transformer_heads=2, norm="batch")
+    spec = pmg.build_spec(TASKS, hp)
+    full = checkpoint.export_state_dict("pmg", pmg.init(jax.random.PRNGKey(5), spec), spec)
+    partial = {k: v for k, v in full.items() if not k.startswith("token_proj")}
+    partial["some.unknown.key"] = np.zeros(3, np.float32)
+    with pytest.raises(KeyError):
+        checkpoint.convert("pmg", partial, spec, strict=True)
+    params = checkpoint.convert("pmg", partial, spec, strict=False)
+    out = capsys.readouterr().out
+    assert "Missing keys" in out and "Unexpected keys" in out
+    x = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    logits, _ = pmg.apply(params, x, spec)
+    assert np.isfinite(np.asarray(logits)).all()
+    # loaded tensors preserved exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["queries"][0]), full[f"task_pool.query.{spec.tasks.names[0]}"]
+    )

@@ -178,18 +178,26 @@ const PAL=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd','#8c564b',
 '#e377c2','#7f7f7f','#bcbd22','#17becf'];
 Object.keys(DATA).forEach(t=>{const o=document.createElement('option');
 o.value=t;o.textContent=t;sel.appendChild(o);});
-let pts=[];
+let pts=[],zoom=1,cx=450,cy=450;
 function draw(){const d=DATA[sel.value];ctx.clearRect(0,0,900,900);pts=[];
 if(!d.xy.length)return;
 const xs=d.xy.map(p=>p[0]),ys=d.xy.map(p=>p[1]);
 const x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);
-d.xy.forEach((p,i)=>{const x=30+840*(p[0]-x0)/((x1-x0)||1),
-y=30+840*(p[1]-y0)/((y1-y0)||1),l=d.labels[i];
+d.xy.forEach((p,i)=>{let x=30+840*(p[0]-x0)/((x1-x0)||1),
+y=30+840*(p[1]-y0)/((y1-y0)||1);
+x=(x-cx)*zoom+450;y=(y-cy)*zoom+450;
+const l=d.labels[i];
 ctx.fillStyle=l>=0?PAL[l%PAL.length]:'#000';
 ctx.beginPath();ctx.arc(x,y,4,0,6.3);ctx.fill();pts.push([x,y,i]);});
 ctx.font='12px sans-serif';
 d.classes.forEach((c,i)=>{ctx.fillStyle=PAL[i%PAL.length];
 ctx.fillText(c,740,20+14*i);});}
+cv.onwheel=e=>{e.preventDefault();const r=cv.getBoundingClientRect();
+const mx=e.clientX-r.left,my=e.clientY-r.top;
+// zoom centered on the cursor (reference: wheel zoom centered on last click)
+cx=cx+(mx-450)/zoom;cy=cy+(my-450)/zoom;
+zoom*=e.deltaY<0?1.25:0.8;zoom=Math.max(0.2,Math.min(50,zoom));
+cx=cx-(mx-450)/zoom;cy=cy-(my-450)/zoom;draw();drawPoly();};
 cv.onmousemove=e=>{const r=cv.getBoundingClientRect(),
 mx=e.clientX-r.left,my=e.clientY-r.top;const d=DATA[sel.value];
 for(const[x,y,i]of pts){if((x-mx)**2+(y-my)**2<25){

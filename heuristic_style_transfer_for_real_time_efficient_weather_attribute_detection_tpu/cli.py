@@ -414,8 +414,6 @@ def _run_explain(args, engine, ds, writer=None):
         if args.visualize_gradcam and writer is not None and bi == 0:
             # TensorBoard Grad-CAM image logging (RTM parity,
             # Functions/RTM_evaluation.py:442-444): first batch's overlays.
-            import numpy as _np
-
             targets = explainer.resolve_targets(task, labels, explainer.logits(images))
             cam, _ = explainer.gradcam(images, task, targets)
             for i in range(min(4, images.shape[0])):

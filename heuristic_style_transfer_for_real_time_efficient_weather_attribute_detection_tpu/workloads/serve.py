@@ -21,7 +21,6 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-import numpy as np
 from PIL import Image
 
 from ..engine.executor import Engine

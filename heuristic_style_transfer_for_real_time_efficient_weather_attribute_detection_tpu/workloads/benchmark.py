@@ -1,23 +1,29 @@
 """External-benchmark evaluation with class mapping (the north-star mode).
 
-Reference: utils/benchmark_utils.py:16-208.  Same semantics, TPU-native
-execution: the folder walk / mapping algebra stay host-side, but the
-per-image synchronous batch=1 forwards (:67-75) become prefetched, jitted
-device batches.
+Reference: utils/benchmark_utils.py:16-208.  Same artifact schemas
+(best_mapping.json / benchmark_summary.json / roc_<task>.png), TPU-native
+execution: the folder walk stays host-side, but the per-image synchronous
+batch=1 forwards (:67-75) become prefetched, jitted device batches.
 
-Auto-mapping improves on the reference's O(B^M) exhaustive product (:91-111):
-each model class's benchmark assignment is optimized by coordinate ascent on
-macro-F1 (exact for the 1-class-at-a-time neighborhood, restart-stabilized),
-with the exhaustive search kept for small M where it is cheap — results match
-the reference's optimum on every feasible instance we test.
+The mapping algebra here is deliberately organized around a single canonical
+object per task: the *assignment vector* ``assign[m] -> b`` sending model
+class ``m`` to benchmark class ``b``.  The JSON mapping file, the auto-mapping
+search, the probability projection (a one-hot matmul), and the confusion
+scoring all read or produce that vector, so every stage is a vectorized numpy
+expression rather than nested dict walking.
+
+Auto-mapping improves on the reference's O(B^M) scalar exhaustive product
+(:91-111): small instances are scored as *batches* of assignment vectors via
+one einsum, and large instances fall back to restart-stabilized coordinate
+ascent on macro-F1 — results match the reference's optimum on every feasible
+instance we test.
 """
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,81 +32,230 @@ from ..engine.executor import Engine
 from ..ops.preprocess import VALID_EXTS
 
 EXHAUSTIVE_LIMIT = 2_000_000  # max B**M states for brute force
+_CHUNK = 8192  # assignment vectors scored per einsum batch
 
 
 def walk_benchmark_folder(
     benchmark_folder: str, bench_classes: Dict[str, List[str]]
 ) -> List[Tuple[str, str]]:
     """[(image_path, top_level_class_dir)] (reference :38-49)."""
+    known_tops = {c for names in bench_classes.values() for c in names}
     images = []
     for root, _, files in os.walk(benchmark_folder):
         rel = os.path.relpath(root, benchmark_folder)
-        if rel == ".":
-            continue
         top = rel.split(os.sep)[0]
-        if all(top not in bench_classes[t] for t in bench_classes):
+        if rel == "." or top not in known_tops:
             continue
-        for fn in files:
-            if os.path.splitext(fn)[1].lower() in VALID_EXTS:
-                images.append((os.path.join(root, fn), top))
+        images.extend(
+            (os.path.join(root, fn), top)
+            for fn in files
+            if os.path.splitext(fn)[1].lower() in VALID_EXTS
+        )
     return images
 
 
+# ---------------------------------------------------------------------------
+# Assignment-vector algebra
+# ---------------------------------------------------------------------------
+
+
+def _one_hot(assign: np.ndarray, B: int) -> np.ndarray:
+    """(..., M) int assignment -> (..., M, B) float one-hot projection."""
+    return (np.asarray(assign)[..., None] == np.arange(B)).astype(np.float64)
+
+
+def _batch_macro_f1(C: np.ndarray, assigns: np.ndarray) -> np.ndarray:
+    """Macro-F1 of each assignment vector in a (K, M) batch against the
+    model-class x bench-class count matrix C (M, B).  Semantics match the
+    reference's scalar scoring (benchmark_utils.py:93-104): a class with
+    zero predicted+true mass contributes F1 = 0.
+
+    Fully vectorized: the bench-space confusion for all K candidates is one
+    einsum over the one-hot projections.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    B = C.shape[1]
+    onehot = _one_hot(assigns, B)  # (K, M, B)
+    # A[k, p, t] = count of samples sent to bench class p with true class t.
+    A = np.einsum("kmp,mt->kpt", onehot, C)
+    tp = np.diagonal(A, axis1=1, axis2=2)  # (K, B)
+    mass = A.sum(axis=2) + A.sum(axis=1)  # predicted + true totals
+    f1 = np.divide(2.0 * tp, mass, out=np.zeros_like(tp), where=mass > 0)
+    return f1.mean(axis=1)
+
+
 def _macro_f1_from_assignment(C: np.ndarray, vec: Sequence[int], B: int) -> float:
-    """Mean per-class F1 of benchmark-space confusion induced by mapping
-    model-class m -> bench-class vec[m] (reference :93-104)."""
-    A = np.zeros((B, B), dtype=np.int64)
-    for mc, b in enumerate(vec):
-        A[b] += C[mc]
-    f1s = []
-    for b in range(B):
-        tp = A[b, b]
-        p_sum = A[b].sum()
-        t_sum = A[:, b].sum()
-        p = tp / p_sum if p_sum else 0.0
-        r = tp / t_sum if t_sum else 0.0
-        f1s.append(2 * p * r / (p + r) if (p + r) else 0.0)
-    return float(np.mean(f1s))
+    """Scalar convenience wrapper over the batch scorer."""
+    del B  # implied by C's second axis
+    return float(_batch_macro_f1(C, np.asarray(vec)[None, :])[0])
+
+
+def _assignment_chunks(M: int, B: int) -> Iterator[np.ndarray]:
+    """Yield every assignment vector in {0..B-1}^M as (<=_CHUNK, M) arrays,
+    in mixed-radix order (last model class varies fastest)."""
+    total = B**M
+    radix = B ** np.arange(M - 1, -1, -1, dtype=np.int64)
+    for start in range(0, total, _CHUNK):
+        idx = np.arange(start, min(start + _CHUNK, total), dtype=np.int64)
+        yield (idx[:, None] // radix) % B
 
 
 def auto_map_task(C: np.ndarray) -> Tuple[List[int], float]:
-    """Best model->bench assignment maximizing macro-F1.
+    """Best model->bench assignment vector maximizing macro-F1.
 
-    Exhaustive when B**M is small (bit-identical to the reference's search);
-    otherwise multi-restart coordinate ascent — each pass greedily reassigns
-    one model class holding the rest fixed until a fixed point.
+    Exhaustive (batched-einsum) when B**M is small — same optimum as the
+    reference's search; otherwise multi-restart coordinate ascent, where each
+    sweep rescoring of one model class evaluates all B candidates as a batch.
     """
     M, B = C.shape
-    if B ** M <= EXHAUSTIVE_LIMIT:
+    if B**M <= EXHAUSTIVE_LIMIT:
         best_s, best_v = -1.0, None
-        for vec in itertools.product(range(B), repeat=M):
-            s = _macro_f1_from_assignment(C, vec, B)
-            if s > best_s:
-                best_s, best_v = s, list(vec)
+        for cand in _assignment_chunks(M, B):
+            scores = _batch_macro_f1(C, cand)
+            k = int(scores.argmax())
+            if scores[k] > best_s:
+                best_s, best_v = float(scores[k]), list(map(int, cand[k]))
         return best_v, best_s
 
-    best_s, best_v = -1.0, None
-    starts = [list(np.argmax(C, axis=1))]  # greedy row-argmax start
     rng = np.random.RandomState(0)
-    starts += [list(rng.randint(0, B, size=M)) for _ in range(7)]
+    starts = np.vstack(
+        [np.argmax(C, axis=1)] + [rng.randint(0, B, size=M) for _ in range(7)]
+    )
+    best_s, best_v = -1.0, None
     for vec in starts:
-        score = _macro_f1_from_assignment(C, vec, B)
+        vec = vec.copy()
+        score = float(_batch_macro_f1(C, vec[None, :])[0])
         improved = True
         while improved:
             improved = False
             for mc in range(M):
-                cur = vec[mc]
-                for b in range(B):
-                    if b == cur:
-                        continue
-                    vec[mc] = b
-                    s = _macro_f1_from_assignment(C, vec, B)
-                    if s > score:
-                        score, cur, improved = s, b, True
-                vec[mc] = cur
+                cand = np.repeat(vec[None, :], B, axis=0)
+                cand[:, mc] = np.arange(B)
+                scores = _batch_macro_f1(C, cand)
+                k = int(scores.argmax())
+                if scores[k] > score + 1e-12 and k != vec[mc]:
+                    score, vec[mc], improved = float(scores[k]), k, True
         if score > best_s:
-            best_s, best_v = score, list(vec)
+            best_s, best_v = score, list(map(int, vec))
     return best_v, best_s
+
+
+def _assignment_from_json(
+    mapping_for_task: Dict[str, List[str]],
+    model_names: Sequence[str],
+    bench_names: Sequence[str],
+) -> np.ndarray:
+    """Assignment vector from the user's bench->model-classes JSON.
+
+    Case-insensitive membership; a model class listed nowhere falls into the
+    catch-all last bench class (reference :113-126 semantics).
+    """
+    B = len(bench_names)
+    lowered = [n.lower() for n in model_names]
+    assign = np.full(len(model_names), B - 1, dtype=np.int64)
+    for b, bench_cls in enumerate(bench_names):
+        members = {n.lower() for n in mapping_for_task.get(bench_cls, ())}
+        hits = [i for i, n in enumerate(lowered) if n in members]
+        assign[hits] = b
+    return assign
+
+
+def _assignment_to_json(
+    assign: np.ndarray, model_names: Sequence[str], bench_names: Sequence[str]
+) -> Dict[str, List[str]]:
+    """Group model classes by their assigned bench class (best_mapping.json
+    schema: bench class -> ordered list of model-class names)."""
+    return {
+        bench: [model_names[i] for i in np.flatnonzero(assign == b)]
+        for b, bench in enumerate(bench_names)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Metrics + plotting in benchmark space
+# ---------------------------------------------------------------------------
+
+
+def _named(names: Sequence[str], values) -> Dict[str, Optional[float]]:
+    return {
+        n: (None if v is None else float(v)) for n, v in zip(names, values)
+    }
+
+
+def _roc_figure(
+    path: str, task: str, bench_names: Sequence[str], y_true: np.ndarray,
+    p_bench: np.ndarray, auc_pc: List[Optional[float]]
+) -> None:
+    """One-vs-rest ROC curves for every bench class with a defined AUC."""
+    from sklearn.metrics import roc_curve
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    cmap = plt.get_cmap("tab10")
+    for b, name in enumerate(bench_names):
+        if auc_pc[b] is None:
+            continue
+        fpr, tpr, _ = roc_curve((y_true == b).astype(int), p_bench[:, b])
+        ax.plot(fpr, tpr, color=cmap(b % 10), label=f"{name} AUC={auc_pc[b]:.2f}")
+    ax.plot([0, 1], [0, 1], linestyle="--", color="black", linewidth=0.8)
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.set_title(f"{task}: one-vs-rest ROC")
+    ax.legend(loc="lower right")
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _task_summary(
+    task: str, bench_names: Sequence[str], y_true: np.ndarray,
+    p_bench: np.ndarray, roc_dir: str
+) -> Dict:
+    """Per-task block of benchmark_summary.json (schema-identical to the
+    reference's summary dict, benchmark_utils.py:144-206)."""
+    from sklearn.metrics import f1_score, precision_score, recall_score, roc_auc_score
+
+    B = len(bench_names)
+    y_pred = p_bench.argmax(axis=1)
+    labels = list(range(B))
+    kw = dict(labels=labels, average=None, zero_division=0)
+
+    auc_pc: List[Optional[float]] = []
+    for b in range(B):
+        onevsrest = (y_true == b).astype(int)
+        try:
+            auc_pc.append(float(roc_auc_score(onevsrest, p_bench[:, b])))
+        except ValueError:  # single-class y_true -> AUC undefined
+            auc_pc.append(None)
+    defined = [a for a in auc_pc if a is not None]
+
+    _roc_figure(
+        os.path.join(roc_dir, f"roc_{task.replace(' ', '_')}.png"),
+        task, bench_names, y_true, p_bench, auc_pc,
+    )
+
+    return {
+        "n_samples": int(len(y_true)),
+        "per_class": {
+            "precision": _named(bench_names, precision_score(y_true, y_pred, **kw)),
+            "recall": _named(bench_names, recall_score(y_true, y_pred, **kw)),
+            "f1_score": _named(bench_names, f1_score(y_true, y_pred, **kw)),
+            "auc": _named(bench_names, auc_pc),
+        },
+        "global": {
+            "precision_macro": float(precision_score(y_true, y_pred, average="macro", zero_division=0)),
+            "recall_macro": float(recall_score(y_true, y_pred, average="macro", zero_division=0)),
+            "f1_macro": float(f1_score(y_true, y_pred, average="macro", zero_division=0)),
+            "auc_macro": float(np.mean(defined)) if defined else None,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
 
 
 def run_benchmark(
@@ -116,12 +271,6 @@ def run_benchmark(
 ) -> Dict:
     """Full benchmark mode -> best_mapping.json + benchmark_summary.json +
     roc_<task>.png, returning the summary dict (reference :16-208)."""
-    from sklearn.metrics import f1_score, precision_score, recall_score, roc_auc_score, roc_curve
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     tasks = engine.tasks
     tasks_json = tasks.as_dict()
     with open(mapping_path, "r") as f:
@@ -165,105 +314,49 @@ def run_benchmark(
         model_probs[task] = p
         model_preds[task] = p.argmax(axis=1) if len(p) else np.zeros((0,), np.int64)
 
-    # Model-class x bench-class confusion (reference :77-84).
-    confusion = {}
+    # Model-class x bench-class confusion, via one one-hot matmul per task
+    # (reference :77-84 does a scalar loop).
+    confusion = {
+        task: (
+            _one_hot(model_preds[task], len(tasks_json[task])).T  # (M, N)
+            @ _one_hot(gt[task], len(bench_classes[task]))  # (N, B)
+        ).astype(np.int64)
+        for task in initial_mapping
+    }
+
+    # Per-task assignment vector: searched, or decoded from the mapping JSON.
+    assignment: Dict[str, np.ndarray] = {}
     for task in initial_mapping:
-        M = len(tasks_json[task])
-        B = len(bench_classes[task])
-        C = np.zeros((M, B), dtype=np.int64)
-        for mc, bc in zip(model_preds[task], gt[task]):
-            C[mc, bc] += 1
-        confusion[task] = C
-
-    # Mapping: inversion of the provided JSON, or automatic search.
-    inverted: Dict[str, Dict[str, int]] = {}
-    if auto_mapping:
-        for task, C in confusion.items():
-            vec, score = auto_map_task(C)
-            inverted[task] = {
-                tasks_json[task][mc].lower(): int(vec[mc]) for mc in range(len(vec))
-            }
+        if auto_mapping:
+            vec, score = auto_map_task(confusion[task])
+            assignment[task] = np.asarray(vec, np.int64)
             print(f"[auto-map] best macro-F1 '{task}' = {score:.4f}")
-    else:
-        for task, mp in initial_mapping.items():
-            inv = {}
-            for bidx, bench_cls in enumerate(bench_classes[task]):
-                for mc_name in mp[bench_cls]:
-                    inv[mc_name.lower()] = bidx
-            inverted[task] = inv
+        else:
+            assignment[task] = _assignment_from_json(
+                initial_mapping[task], tasks_json[task], bench_classes[task]
+            )
 
-    final_mapping = {}
-    for task, bench_list in bench_classes.items():
-        mp = {b: [] for b in bench_list}
-        for mc_name in tasks_json[task]:
-            bidx = inverted[task].get(mc_name.lower(), len(bench_list) - 1)
-            mp[bench_list[bidx]].append(mc_name)
-        final_mapping[task] = mp
+    final_mapping = {
+        task: _assignment_to_json(assignment[task], tasks_json[task], bench_classes[task])
+        for task in initial_mapping
+    }
     os.makedirs(save_dir, exist_ok=True)
     with open(os.path.join(save_dir, "best_mapping.json"), "w") as f:
         json.dump(final_mapping, f, indent=2)
 
-    # Project probabilities into benchmark space (sum of mapped model-class
-    # probs, reference :132-142) — one matmul per task.
+    # Benchmark-space probabilities: one one-hot projection matmul per task
+    # (reference :132-142 accumulates per sample).
     os.makedirs(roc_dir, exist_ok=True)
+    proj = {t: _one_hot(assignment[t], len(bench_classes[t])) for t in initial_mapping}
     summary = {}
     for task in initial_mapping:
-        B = len(bench_classes[task])
-        M = len(tasks_json[task])
-        proj = np.zeros((M, B))
-        for idx_mc, mc_name in enumerate(tasks_json[task]):
-            proj[idx_mc, inverted[task].get(mc_name.lower(), B - 1)] = 1.0
-        p_bench = model_probs[task] @ proj
+        p_bench = model_probs[task] @ proj[task]
         if p_bench.shape[0] == 0:
             print(f"[Warning] no probabilities for task '{task}', metrics skipped.")
             continue
-        y_pred = p_bench.argmax(axis=1)
-        y_true = gt[task]
-        labels = list(range(B))
-
-        prec_pc = precision_score(y_true, y_pred, labels=labels, average=None, zero_division=0)
-        rec_pc = recall_score(y_true, y_pred, labels=labels, average=None, zero_division=0)
-        f1_pc = f1_score(y_true, y_pred, labels=labels, average=None, zero_division=0)
-        auc_pc = []
-        for i in range(B):
-            try:
-                auc_pc.append(float(roc_auc_score((y_true == i).astype(int), p_bench[:, i])))
-            except ValueError:
-                auc_pc.append(None)
-        valid_aucs = [a for a in auc_pc if a is not None]
-        auc_global = float(np.mean(valid_aucs)) if valid_aucs else None
-
-        plt.figure()
-        colors = ["aqua", "darkorange", "cornflowerblue", "green",
-                  "red", "purple", "brown", "olive"]
-        for i, color in zip(range(B), itertools.cycle(colors)):
-            if auc_pc[i] is None:
-                continue
-            fpr, tpr, _ = roc_curve((y_true == i).astype(int), p_bench[:, i])
-            plt.plot(fpr, tpr, color=color,
-                     label=f"{bench_classes[task][i]} (AUC={auc_pc[i]:.2f})")
-        plt.plot([0, 1], [0, 1], "k--")
-        plt.xlabel("FPR"); plt.ylabel("TPR")
-        plt.title(f"ROC – {task}")
-        plt.legend(loc="lower right")
-        plt.savefig(os.path.join(roc_dir, f"roc_{task.replace(' ', '_')}.png"))
-        plt.close()
-
-        summary[task] = {
-            "n_samples": int(len(y_true)),
-            "per_class": {
-                "precision": {bench_classes[task][i]: float(prec_pc[i]) for i in labels},
-                "recall": {bench_classes[task][i]: float(rec_pc[i]) for i in labels},
-                "f1_score": {bench_classes[task][i]: float(f1_pc[i]) for i in labels},
-                "auc": {bench_classes[task][i]: auc_pc[i] for i in labels},
-            },
-            "global": {
-                "precision_macro": float(precision_score(y_true, y_pred, average="macro", zero_division=0)),
-                "recall_macro": float(recall_score(y_true, y_pred, average="macro", zero_division=0)),
-                "f1_macro": float(f1_score(y_true, y_pred, average="macro", zero_division=0)),
-                "auc_macro": auc_global,
-            },
-        }
+        summary[task] = _task_summary(
+            task, bench_classes[task], gt[task], p_bench, roc_dir
+        )
 
     with open(os.path.join(save_dir, "benchmark_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -276,17 +369,14 @@ def run_benchmark(
 
         pred_dir = os.path.join(save_dir, "pred_images")
         os.makedirs(pred_dir, exist_ok=True)
+        bench_space = {t: model_probs[t] @ proj[t] for t in initial_mapping}
         for i, (path, bench_cls) in enumerate(images):
             img = cv2.imread(path)
             if img is None:
                 continue
             y = 24
             for task in initial_mapping:
-                B = len(bench_classes[task])
-                proj = np.zeros((len(tasks_json[task]), B))
-                for idx_mc, mc_name in enumerate(tasks_json[task]):
-                    proj[idx_mc, inverted[task].get(mc_name.lower(), B - 1)] = 1.0
-                pb = model_probs[task][i] @ proj
+                pb = bench_space[task][i]
                 pred_idx = int(pb.argmax())
                 ok = pred_idx == gt[task][i]
                 color = (0, 200, 0) if ok else (0, 0, 255)

@@ -110,12 +110,10 @@ def _apply_block(p: Dict[str, Any], x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return jax.nn.relu(h + identity)
 
 
-def apply_truncated(
-    params: Dict[str, Any], x: jnp.ndarray, truncate_after_layer: int
+def _apply_children(
+    params: Dict[str, Any], x: jnp.ndarray, children: Tuple[str, ...]
 ) -> jnp.ndarray:
-    """Run the first ``truncate_after_layer`` children (clamped to [1, 8])."""
-    n = max(1, min(truncate_after_layer, len(CHILDREN)))
-    for child in CHILDREN[:n]:
+    for child in children:
         if child == "conv1":
             x = conv2d(x, params["conv1"], stride=2, padding=3)
         elif child == "bn1":
@@ -130,3 +128,31 @@ def apply_truncated(
                 stride = 1 if (si == 0 or bi > 0) else 2
                 x = _apply_block(bp, x, stride)
     return x
+
+
+def apply_truncated(
+    params: Dict[str, Any], x: jnp.ndarray, truncate_after_layer: int
+) -> jnp.ndarray:
+    """Run the first ``truncate_after_layer`` children (clamped to [1, 8])."""
+    n = max(1, min(truncate_after_layer, len(CHILDREN)))
+    return _apply_children(params, x, CHILDREN[:n])
+
+
+def stem_conv(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """conv1 output only (pre-bn, pre-relu).
+
+    This is the activation the reference's shipped RTM Grad-CAM actually
+    hooks: the ``reversed()`` scan over ``truncated_encoder``'s *top-level*
+    children (Functions/RTM_evaluation.py:175-183) never descends into the
+    ``layerN`` Sequentials, so the first ``nn.Conv2d`` it finds is the stem.
+    """
+    return conv2d(x, params["conv1"], stride=2, padding=3)
+
+
+def apply_truncated_from_stem(
+    params: Dict[str, Any], a: jnp.ndarray, truncate_after_layer: int
+) -> jnp.ndarray:
+    """Continue from ``stem_conv`` activations through the remaining
+    truncated children (the re-entry point for stem-targeted Grad-CAM)."""
+    n = max(1, min(truncate_after_layer, len(CHILDREN)))
+    return _apply_children(params, a, CHILDREN[1:n])

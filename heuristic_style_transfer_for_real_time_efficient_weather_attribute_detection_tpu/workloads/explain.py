@@ -29,37 +29,71 @@ from ..models import get_family
 from ..ops.preprocess import normalize_uint8
 
 
-class Explainer:
-    """Jitted Grad-CAM / IG for one (family, spec, params)."""
+def gradcam_split(family: str, spec, rtm_target: str = "stem_conv"):
+    """(target_feats(params, x), head_from(params, acts)) — the forward split
+    at the Grad-CAM target activation.
 
-    def __init__(self, family: str, spec, params, dtype=jnp.float32):
+    The reference hooks the LAST top-level Conv2d module's output — pre-norm,
+    pre-activation (PMG_evaluation.py:59-64, PM_evaluation.py:235-242).
+    PM/PMG trunks are flat Sequentials so that is the last trunk conv.  For
+    RTM, ``rtm_target`` picks the activation:
+
+      - ``"stem_conv"`` (default): the stem conv1 output — what the
+        reference's shipped code actually hooks, because its ``reversed()``
+        scan over ``truncated_encoder``'s top-level children
+        (Functions/RTM_evaluation.py:175-183) never descends into the
+        ``layerN`` Sequentials.  Exact parity with the reference.
+      - ``"backbone_out"``: the truncated-backbone output — semantically the
+        "last deep features" a textbook Grad-CAM would want; kept as an
+        opt-in improvement over the reference quirk.
+    """
+    mod = get_family(family)
+    if family in ("pm", "pmg"):
+        from ..models.trunk import apply_trunk_from_last_conv, trunk_last_conv
+
+        def target_feats(p, x):
+            return trunk_last_conv(p["trunk"], x, spec.plan, spec.norm)
+
+        def head_from(p, f):
+            feats = apply_trunk_from_last_conv(p["trunk"], f, spec.plan, spec.norm)
+            return mod.head_apply(p, feats, spec)[0]
+
+    elif rtm_target == "stem_conv":
+        from ..models import resnet
+
+        def target_feats(p, x):
+            return resnet.stem_conv(p["backbone"], x)
+
+        def head_from(p, a):
+            feats = resnet.apply_truncated_from_stem(
+                p["backbone"], a, spec.truncate_after_layer
+            )
+            return mod.head_apply(p, feats, spec)[0]
+
+    else:
+
+        def target_feats(p, x):
+            return mod.apply(p, x, spec, capture=("features",))[1]["features"]
+
+        def head_from(p, f):
+            return mod.head_apply(p, f, spec)[0]
+
+    return target_feats, head_from
+
+
+class Explainer:
+    """Jitted Grad-CAM / IG for one (family, spec, params).
+
+    ``rtm_target``: see :func:`gradcam_split`.
+    """
+
+    def __init__(self, family: str, spec, params, dtype=jnp.float32,
+                 rtm_target: str = "stem_conv"):
         self.mod = get_family(family)
         self.spec = spec
         self.params = params
         self.dtype = dtype
-
-        # Target activations: the reference hooks the LAST Conv2d module's
-        # output — pre-norm, pre-activation (PMG_evaluation.py:59-64,
-        # PM_evaluation.py:235-242).  PM/PMG expose exactly that tensor; for
-        # RTM (last conv buried inside the final bottleneck) we use the
-        # truncated-backbone output, a standard nearby target.
-        if family in ("pm", "pmg"):
-            from ..models.trunk import apply_trunk_from_last_conv, trunk_last_conv
-
-            def _target_feats(p, x):
-                return trunk_last_conv(p["trunk"], x, spec.plan, spec.norm)
-
-            def _head_from(p, f):
-                feats = apply_trunk_from_last_conv(p["trunk"], f, spec.plan, spec.norm)
-                return self.mod.head_apply(p, feats, spec)[0]
-
-        else:
-
-            def _target_feats(p, x):
-                return self.mod.apply(p, x, spec, capture=("features",))[1]["features"]
-
-            def _head_from(p, f):
-                return self.mod.head_apply(p, f, spec)[0]
+        _target_feats, _head_from = gradcam_split(family, spec, rtm_target)
 
         @partial(jax.jit, static_argnames=("task_idx",))
         def _gradcam(params, images_u8, class_idx, task_idx):

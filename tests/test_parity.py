@@ -108,17 +108,20 @@ def test_checkpoint_key_manifest_roundtrip():
         assert k.startswith(expect_prefixes), f"unexpected key {k}"
 
 
-@pytest.mark.parametrize("name", ["pmg_tiny_instance_se", "pm_small"])
+@pytest.mark.parametrize(
+    "name", ["pmg_tiny_instance_se", "pm_small", "rtm_trunc5_attn", "rtm_trunc6_gap"]
+)
 def test_gradcam_matches_reference(name):
     """Grad-CAM parity: fixtures freeze the torch reference's CAM (the
-    pytorch_grad_cam algorithm hooked on the last trunk Conv2d); our
-    last-conv-targeted grad path must reproduce it.  The fixture input is
-    already normalized, so this drives the Explainer's core math directly
+    pytorch_grad_cam algorithm hooked on the last top-level Conv2d — the
+    last trunk conv for PM/PMG, the stem conv1 for RTM, see
+    explain.gradcam_split); our split must reproduce it.  The fixture input
+    is already normalized, so this drives the Explainer's core math directly
     rather than the uint8 wrapper."""
     import jax
     import jax.numpy as jnp
 
-    from wadt.models.trunk import apply_trunk_from_last_conv, trunk_last_conv
+    from wadt.workloads.explain import gradcam_split
 
     meta, data, mod, spec, params = load_case(name)
     if "gradcam/cam" not in data:
@@ -127,11 +130,11 @@ def test_gradcam_matches_reference(name):
     ti = spec.tasks.names.index(str(data["gradcam/task"]))
     cls = jnp.asarray(data["gradcam/classes"].astype(np.int32))
 
-    feats = trunk_last_conv(params["trunk"], jnp.asarray(x), spec.plan, spec.norm)
+    target_feats, head_from = gradcam_split(meta["family"], spec)
+    feats = target_feats(params, jnp.asarray(x))
 
     def head_target(f):
-        ff = apply_trunk_from_last_conv(params["trunk"], f, spec.plan, spec.norm)
-        lg, _ = mod.head_apply(params, ff, spec)
+        lg = head_from(params, f)
         return jnp.sum(jnp.take_along_axis(lg[:, ti, :], cls[:, None], axis=-1))
 
     grads = jax.grad(head_target)(feats)

@@ -305,6 +305,17 @@ def main():
         aux = {"shared_embedding": shared.numpy()}
         for t, v in task_emb.items():
             aux[f"task_emb/{t}"] = v.numpy()
+        # Shipped RTM Grad-CAM quirk: the reversed() scan over
+        # truncated_encoder's TOP-LEVEL children (RTM_evaluation.py:175-183)
+        # skips the layerN Sequentials and lands on the stem conv1 — the
+        # only top-level nn.Conv2d, which is exactly what gradcam_reference
+        # selects when given the truncated_encoder as the module list.
+        task0 = list(tasks)[0]
+        aux["gradcam/task"] = np.array(task0)
+        aux["gradcam/classes"] = np.array([0, 1])
+        aux["gradcam/cam"] = gradcam_reference(
+            m, m.truncated_encoder, xs, task0, [0, 1]
+        )
         save_case(name, "rtm", hp, tasks, m, xs, aux)
 
     rtm_case("rtm_trunc5_attn", 20, {

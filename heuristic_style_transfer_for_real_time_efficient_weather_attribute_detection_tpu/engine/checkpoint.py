@@ -533,6 +533,34 @@ def save_torch_checkpoint(family: str, params, spec, path: str) -> None:
 _CONVERTERS = {"pmg": convert_pmg, "pm": convert_pm, "rtm": convert_rtm}
 
 
+def _canon_state_keys(family: str, state: StateDict) -> StateDict:
+    """Normalize accepted key aliases to the export manifest's naming.
+
+    RTM checkpoints arrive in three backbone forms (``truncated_encoder.<seq>``
+    / ``backbone.<root>`` / raw ``<root>``, Functions/RTM_evaluation.py:545-620)
+    while the export manifest uses ``truncated_encoder.<seq>``; without this
+    the non-strict missing/unexpected comparison would classify every aliased
+    backbone tensor as unexpected and silently re-initialize it.
+    """
+    if family != "rtm":
+        return state
+    out: StateDict = {}
+    for k, v in state.items():
+        root = k.split(".", 1)[0]
+        if not (
+            k.startswith(("truncated_encoder.", "backbone.")) or root in _NAME_TO_SEQ
+        ):
+            out[k] = v
+    for k, v in _canon_backbone_keys(state).items():
+        root, _, tail = k.partition(".")
+        seq = _NAME_TO_SEQ.get(root)
+        if seq is None:
+            out[k] = v
+        else:
+            out[f"truncated_encoder.{seq}.{tail}"] = v
+    return out
+
+
 def convert(
     family: str, state: StateDict, spec, strict: bool = True, init_key: int = 0
 ) -> Dict[str, Any]:
@@ -541,6 +569,10 @@ def convert(
     ``strict=False`` reproduces the reference loaders' fallback
     (utils/PMG/PMG_model_utils.py:186-196): missing tensors come from a fresh
     initialization, unexpected ones are ignored, and both lists are printed.
+    A present tensor whose shape disagrees with the manifest is an error
+    (torch ``load_state_dict(strict=False)`` semantics) — except RTM
+    classifier tensors, which the strict converter partial-copies
+    (Functions/RTM_evaluation.py:643-648).
     """
     family = family.lower()
     if strict:
@@ -551,10 +583,25 @@ def convert(
 
     init_params = get_family(family).init(jax.random.PRNGKey(init_key), spec)
     full = export_state_dict(family, init_params, spec)
+    state = _canon_state_keys(family, state)
     missing = [k for k in full if k not in state]
     unexpected = [
         k for k in state if k not in full and "num_batches_tracked" not in k
     ]
+    mismatched = [
+        k for k in state
+        if k in full
+        and tuple(np.shape(state[k])) != tuple(np.shape(full[k]))
+        and not (family == "rtm" and k.startswith("classifiers."))
+    ]
+    if mismatched:
+        raise ValueError(
+            f"shape mismatch for {len(mismatched)} tensors, e.g. "
+            + ", ".join(
+                f"{k}: {tuple(np.shape(state[k]))} vs {tuple(np.shape(full[k]))}"
+                for k in mismatched[:4]
+            )
+        )
     if missing:
         print(f"[load] Missing keys ({len(missing)}): {missing[:8]}"
               f"{' ...' if len(missing) > 8 else ''}")

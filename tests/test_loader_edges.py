@@ -159,3 +159,52 @@ def test_nonstrict_conversion_fills_missing_keys(capsys):
     np.testing.assert_array_equal(
         np.asarray(params["queries"][0]), full[f"task_pool.query.{spec.tasks.names[0]}"]
     )
+
+
+def test_nonstrict_rtm_canonicalizes_backbone_aliases(capsys):
+    """strict=False must see through the three accepted RTM backbone key
+    forms (truncated_encoder.<seq> / backbone.<root> / raw <root>) instead of
+    re-initializing every aliased backbone tensor as 'unexpected'."""
+    import jax
+
+    hp = dict(truncate_layer=5, use_attention=True, attn_token_dim=8)
+    spec = rtm.build_spec(TASKS, hp)
+    full = checkpoint.export_state_dict("rtm", rtm.init(jax.random.PRNGKey(7), spec), spec)
+
+    for form in ("backbone", "raw"):
+        aliased = {}
+        for k, v in full.items():
+            if k.startswith("truncated_encoder."):
+                seq, _, tail = k[len("truncated_encoder."):].partition(".")
+                root = checkpoint._SEQ_TO_NAME[int(seq)]
+                aliased[
+                    f"backbone.{root}.{tail}" if form == "backbone" else f"{root}.{tail}"
+                ] = v
+            else:
+                aliased[k] = v
+        # drop one head tensor so the non-strict path actually triggers
+        aliased.pop(f"attentions.attention_{spec.tasks.names[0]}.q")
+        params = checkpoint.convert("rtm", aliased, spec, strict=False)
+        out = capsys.readouterr().out
+        assert "truncated_encoder" not in out.split("Unexpected keys")[-1], (form, out)
+        np.testing.assert_array_equal(
+            np.asarray(checkpoint.export_state_dict("rtm", params, spec)[
+                "truncated_encoder.0.weight"
+            ]),
+            full["truncated_encoder.0.weight"],
+            err_msg=f"backbone weights lost through alias form {form!r}",
+        )
+
+
+def test_nonstrict_shape_mismatch_errors():
+    """A present tensor with the wrong shape must raise, not be merged
+    (torch load_state_dict(strict=False) semantics)."""
+    import jax
+
+    hp = dict(truncate_layer=5, use_attention=False)
+    spec = rtm.build_spec(TASKS, hp)
+    full = checkpoint.export_state_dict("rtm", rtm.init(jax.random.PRNGKey(8), spec), spec)
+    bad = dict(full)
+    bad["truncated_encoder.0.weight"] = np.zeros((8, 3, 7, 7), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        checkpoint.convert("rtm", bad, spec, strict=False)

@@ -168,4 +168,27 @@ def evaluate(
     if measure_time:
         with open(os.path.join(save_dir, "times_classifier.json"), "w") as f:
             json.dump(times, f, indent=2)
+    if engine.family == "pm":
+        # The PM reference eval writes its own artifact names and schema
+        # alongside: test_metrics.json = {task: {...,"confusion_matrix"},
+        # "average": {"accuracy"}} and times_test.json
+        # (Functions/PM_evaluation.py:595-641).  Downstream PM consumers
+        # read these names, so emit them in addition to the unified set.
+        pm_metrics: Dict[str, Dict] = {
+            t: {
+                k: m[k]
+                for k in (
+                    "accuracy", "precision", "recall", "f1_score",
+                    "confusion_matrix",
+                )
+            }
+            for t, m in metrics.items()
+        }
+        accs = [m["accuracy"] for m in pm_metrics.values() if m["accuracy"] is not None]
+        pm_metrics["average"] = {"accuracy": float(np.mean(accs)) if accs else 0.0}
+        with open(os.path.join(save_dir, "test_metrics.json"), "w") as f:
+            json.dump(pm_metrics, f, indent=4)
+        if measure_time:
+            with open(os.path.join(save_dir, "times_test.json"), "w") as f:
+                json.dump(times, f, indent=4)
     return avg_loss, metrics, overall_f1, times

@@ -285,3 +285,33 @@ def test_batchloader_raises_cleanly_on_decode_error(tmp_path):
     with pytest.raises(Exception):
         for _ in loader:
             pass
+
+
+def test_pm_family_artifact_names(synth, tmp_path):
+    """PM evals additionally emit the PM reference's own artifact names and
+    schema: test_metrics.json ({task: {..., confusion_matrix}, average}) and
+    times_test.json (Functions/PM_evaluation.py:595-641)."""
+    import jax
+
+    from wadt.models import pm
+    from wadt.workloads.evaluate import evaluate
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    spec = pm.build_spec(tasks, dict(ndf=8, patch_size=16))
+    eng = Engine("pm", spec, pm.init(jax.random.PRNGKey(1), spec), batch_size=4)
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    save = str(tmp_path / "pm_eval")
+    evaluate(eng, BatchLoader(ds, batch_size=4, num_workers=2), save,
+             measure_time=True)
+    m = json.load(open(os.path.join(save, "test_metrics.json")))
+    assert "average" in m and set(m["average"]) == {"accuracy"}
+    for task in eng.tasks.names:
+        assert set(m[task]) == {"accuracy", "precision", "recall", "f1_score",
+                                "confusion_matrix"}
+    assert os.path.exists(os.path.join(save, "times_test.json"))
+    # the unified names still exist too
+    assert os.path.exists(os.path.join(save, "metrics_test.json"))
+    assert os.path.exists(os.path.join(save, "times_classifier.json"))

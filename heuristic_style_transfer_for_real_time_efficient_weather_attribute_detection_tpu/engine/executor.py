@@ -169,8 +169,12 @@ class Engine:
     ) -> Dict[str, np.ndarray]:
         """Forward N images (any N) -> host dict of stacked arrays [N, ...].
 
-        Pads the tail batch; per-batch wall-times returned under "times" when
-        ``measure_time`` (parity with the reference's times_*.json telemetry).
+        Dispatch is double-buffered: batch i+1 is enqueued on the device
+        before batch i's results are fetched, so the chip never idles on the
+        tail D2H transfer (the reference synchronizes every batch).  Pads the
+        tail batch; per-batch wall-times returned under "times" when
+        ``measure_time`` (parity with the reference's times_*.json telemetry
+        — timing forces per-batch synchronization).
         """
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(
@@ -187,6 +191,21 @@ class Engine:
         loss_sums = np.zeros(len(self.tasks), np.float64)
         counts = np.zeros(len(self.tasks), np.int64)
         times: List[float] = []
+        fetch_keys = set(collect)
+        if labels is not None:
+            fetch_keys |= {"loss_per_task", "count_per_task"}
+        inflight: List[Tuple[int, Dict]] = []
+
+        def _drain_one() -> None:
+            take, res = inflight.pop(0)
+            host = jax.device_get({k: res[k] for k in fetch_keys})
+            for k in collect:
+                outs[k].append(host[k][:take])
+            if labels is not None:
+                cnt = host["count_per_task"].astype(np.int64)
+                np.add(loss_sums, host["loss_per_task"] * cnt, out=loss_sums)
+                np.add(counts, cnt, out=counts)
+
         for s in range(0, n, bs):
             e = min(s + bs, n)
             chunk = images[s:e]
@@ -205,12 +224,11 @@ class Engine:
             if measure_time:
                 jax.block_until_ready(res)
                 times.append(time.perf_counter() - t0)
-            for k in collect:
-                outs[k].append(np.asarray(res[k])[: e - s])
-            if labels is not None:
-                cnt = np.asarray(res["count_per_task"], np.int64)
-                loss_sums += np.asarray(res["loss_per_task"], np.float64) * cnt
-                counts += cnt
+            inflight.append((e - s, res))
+            if len(inflight) > 1:
+                _drain_one()
+        while inflight:
+            _drain_one()
         result = {k: np.concatenate(v, axis=0) for k, v in outs.items() if v}
         if labels is not None:
             result["loss_per_task"] = loss_sums / np.maximum(counts, 1)

@@ -1,6 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark: flagship PMG (shipped production config, 12 tasks)
-single-chip sustained inference throughput at 224px.
+"""Headline benchmark: single-chip sustained inference throughput at 224px.
+
+Default invocation measures the flagship PMG (shipped production config,
+12 tasks) in f32 and prints ONE JSON line — the driver contract.  Flags
+extend the same protocol to every family and dtype:
+
+    python bench.py --family rtm --dtype bf16 [--batch 256]
+    python bench.py --all        # 3 families x 2 dtypes -> results/bench_matrix.json
 
 Timing protocol — device-side loop with data dependence.  On this rig the
 TPU sits behind a network relay where ``block_until_ready`` can return before
@@ -21,40 +27,76 @@ synchronous batch=1 PyTorch (utils/benchmark_utils.py:67-75).  Derived
 north-star (BASELINE.md): >1000 images/sec on one TPU v5e chip;
 ``vs_baseline`` = measured / 1000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+stdout is always exactly ONE JSON line: {"metric", "value", "unit",
+"vs_baseline"} (the PMG-f32 headline under --all; per-config details go to
+stderr / the matrix file).
 """
 
+import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-BATCH = 512
-INNER = 100  # forwards per device loop
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Per-family compiled batch (memory-comfortable on one v5e chip).
+FAMILY_BATCH = {"pmg": 512, "pm": 256, "rtm": 256}
+INNER = {"pmg": 100, "pm": 20, "rtm": 10}  # forwards per device loop
 REPEATS = 4
 
 
-def main():
+def build(family):
+    """(apply_closure, spec, params) for the family's headline config."""
+    import jax
+
+    import __graft_entry__ as graft
+    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.models import (
+        get_family,
+    )
+
+    if family == "pmg":
+        mod, spec, params = graft._flagship()
+        return mod, spec, params
+    with open(os.path.join(REPO, "configs", "tasks.json")) as f:
+        tasks = json.load(f)
+    mod = get_family(family)
+    # Headline configs: PM reference defaults (~13M params); RTM full
+    # truncated ResNet-50 + attention heads (~24M params).
+    spec = mod.build_spec(tasks, {})
+    params = mod.init(jax.random.PRNGKey(0), spec)
+    return mod, spec, params
+
+
+def measure(family: str, dtype_name: str, batch: int) -> float:
+    """Sustained img/s via the chained device-loop protocol."""
     import jax
     import jax.numpy as jnp
 
-    import __graft_entry__ as graft
-    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.models import pmg
+    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.ops.nn import (
+        cast_tree,
+    )
     from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.ops.preprocess import (
         normalize_uint8,
     )
 
-    _, spec, params = graft._flagship()
+    mod, spec, params = build(family)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    if dtype != jnp.float32:
+        params = cast_tree(params, dtype)
     rng = np.random.RandomState(0)
-    imgs = jax.device_put(rng.randint(0, 256, (BATCH, 224, 224, 3), np.uint8))
+    imgs = jax.device_put(rng.randint(0, 256, (batch, 224, 224, 3), np.uint8))
+    inner = INNER[family]
 
     def chain_fn(p, u8):
         def one(i, salt):
-            x = normalize_uint8(u8, jnp.float32) + salt
-            logits, _ = pmg.apply(p, x, spec)
-            return logits[0, 0, 0] * 0.0  # device-side dependence, no host sync
+            x = normalize_uint8(u8, dtype) + salt
+            logits, _ = mod.apply(p, x, spec)
+            return (logits[0, 0, 0] * 0.0).astype(dtype)
 
-        return jax.lax.fori_loop(0, INNER, one, jnp.float32(0))
+        return jax.lax.fori_loop(0, inner, one, jnp.zeros((), dtype))
 
     chain = jax.jit(chain_fn)
     float(chain(params, imgs))  # compile + first run
@@ -63,19 +105,50 @@ def main():
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         float(chain(params, imgs))  # scalar fetch = true completion barrier
-        best = min(best, (time.perf_counter() - t0) / INNER)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return batch / best
 
-    ips = BATCH / best
-    print(
-        json.dumps(
-            {
-                "metric": "pmg_sustained_inference_throughput_224px_1chip",
-                "value": round(ips, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(ips / 1000.0, 3),
-            }
-        )
-    )
+
+def result_line(family: str, dtype_name: str, ips: float) -> dict:
+    suffix = "" if dtype_name == "f32" else f"_{dtype_name}"
+    return {
+        "metric": f"{family}_sustained_inference_throughput_224px_1chip{suffix}",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 1000.0, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="run 3 families x 2 dtypes -> results/bench_matrix.json")
+    args = ap.parse_args()
+
+    if args.all:
+        matrix = {}
+        for family in ("pmg", "pm", "rtm"):
+            for dtype_name in ("f32", "bf16"):
+                batch = args.batch or FAMILY_BATCH[family]
+                ips = measure(family, dtype_name, batch)
+                matrix[f"{family}_{dtype_name}"] = {
+                    "images_per_sec": round(ips, 1), "batch": batch,
+                }
+                print(f"[bench] {family} {dtype_name} batch={batch}: "
+                      f"{ips:,.0f} img/s", file=sys.stderr)
+        os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
+        with open(os.path.join(REPO, "results", "bench_matrix.json"), "w") as f:
+            json.dump(matrix, f, indent=2)
+        headline = matrix["pmg_f32"]["images_per_sec"]
+        print(json.dumps(result_line("pmg", "f32", headline)))
+        return
+
+    batch = args.batch or FAMILY_BATCH[args.family]
+    ips = measure(args.family, args.dtype, batch)
+    print(json.dumps(result_line(args.family, args.dtype, ips)))
 
 
 if __name__ == "__main__":

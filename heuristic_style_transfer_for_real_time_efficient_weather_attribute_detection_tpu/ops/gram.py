@@ -57,7 +57,16 @@ def patch_gram_tokens(x: jnp.ndarray, div: int) -> jnp.ndarray:
     ``G[p] = P[p]^T P[p] / N`` with P [N, C]; equals the reference's
     ``matmul(patches, patches.transpose(2,3)) / N`` (models_PMG.py:188) with
     matching row-major flattening (G is symmetric and index orders coincide).
+
+    Dispatches to the Pallas kernel when the recorded A/B says it wins on
+    this backend (ops/kernel_select.py; XLA fusion otherwise).
     """
+    from .kernel_select import winner
+
+    if winner("patch_gram_tokens") == "pallas":
+        from .pallas_kernels import patch_gram_tokens_pallas
+
+        return patch_gram_tokens_pallas(x, div)
     patches, area = split_patches(x, div)
     b, np_, n, c = patches.shape
     g = jnp.einsum(

@@ -5,8 +5,16 @@ kernel").
 Kernels here always have a pure-jnp reference implementation next to them
 (ops/gram.py, ops/preprocess.py); correctness is asserted in
 tests/test_pallas.py (interpret mode on CPU, compiled on TPU).  Selection is
-by measurement, not faith: bench_kernels.py A/Bs each kernel against the XLA
-fusion and the Engine uses whichever wins on the running backend.
+by measurement, not faith: ``tools/bench_kernels.py --record`` A/Bs each
+kernel against the XLA fusion and stores the winner per backend in
+results/kernel_ab.json, which ops/kernel_select.py serves to the production
+dispatch (ops/gram.patch_gram_tokens).  On the current v5e + libtpu the XLA
+fusions win at the shipped shapes (the per-image pallas grid is too
+fine-grained for this tiny model), so the recorded winner is "xla" and these
+kernels carry no production FLOPs there — a backend where they win flips the
+dispatch with no code change.  ``fused_stem`` additionally depends on an
+in-kernel shape cast not every Mosaic version supports and stays
+benchmark-only.
 """
 
 from __future__ import annotations

@@ -51,3 +51,43 @@ def test_fused_stem_matches_reference():
         IMAGENET_MEAN, IMAGENET_STD, stride=k, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_kernel_select_dispatch(monkeypatch):
+    """patch_gram_tokens routes through the measured-selection registry:
+    default XLA, pallas when the record says so."""
+    import jax.numpy as jnp
+
+    from wadt.ops import gram, kernel_select
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 6, 6, 4), jnp.float32)
+    monkeypatch.setattr(kernel_select, "winner", lambda op, default="xla": "xla")
+    want = np.asarray(gram.patch_gram_tokens(x, 2))
+
+    called = {}
+
+    def fake_pallas(z, div):
+        called["yes"] = True
+        return gram.patch_gram_tokens.__wrapped__(z, div) if hasattr(
+            gram.patch_gram_tokens, "__wrapped__") else want
+
+    monkeypatch.setattr(kernel_select, "winner", lambda op, default="xla": "pallas")
+    import wadt.ops.pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "patch_gram_tokens_pallas", fake_pallas)
+    got = np.asarray(gram.patch_gram_tokens(x, 2))
+    assert called.get("yes"), "pallas route not taken despite recorded win"
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_kernel_select_registry(tmp_path, monkeypatch):
+    """record() round-trips through the JSON table winner() reads."""
+    from wadt.ops import kernel_select as ks
+
+    monkeypatch.setattr(ks, "RECORD_PATH", str(tmp_path / "ab.json"))
+    ks._table.cache_clear()
+    assert ks.winner("patch_gram_tokens") == "xla"  # default with no record
+    ks.record("patch_gram_tokens", "pallas", 10.0, 5.0, "test",
+              backend=ks.backend_kind())
+    assert ks.winner("patch_gram_tokens") == "pallas"
+    ks._table.cache_clear()

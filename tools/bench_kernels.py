@@ -47,11 +47,20 @@ def chained_time(make_step, *args, repeats=3):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="store winners in results/kernel_ab.json (the "
+                         "production dispatch table, ops/kernel_select.py)")
+    args = ap.parse_args()
+
     from wadt.config import IMAGENET_MEAN, IMAGENET_STD
-    from wadt.ops.gram import patch_gram_tokens
+    from wadt.ops import kernel_select
+    from wadt.ops.gram import split_patches
     from wadt.ops.nn import conv2d, leaky_relu
     from wadt.ops.norms import batch_norm_infer
     from wadt.ops.pallas_kernels import fused_stem, patch_gram_tokens_pallas
@@ -63,6 +72,15 @@ def main():
     # ---- patch-Gram + token-proj consumer (shipped PMG shapes) ----
     z = jax.device_put(rng.randn(B, 14, 14, 96).astype(np.float32))
     w = jax.device_put(rng.randn(9216, 192).astype(np.float32) * 0.01)
+
+    def gram_xla(x, div):
+        # the XLA-fused reference path, inlined so the dispatch in
+        # ops/gram.patch_gram_tokens cannot skew the A/B
+        patches, area = split_patches(x, div)
+        b, np_, n, c = patches.shape
+        g = jnp.einsum("bpnc,bpnd->bpcd", patches, patches,
+                       preferred_element_type=jnp.float32) * (1.0 / float(area))
+        return g.reshape(b, np_, c * c).astype(x.dtype)
 
     def make_gram(gram_fn):
         def mk(z, w):
@@ -77,13 +95,19 @@ def main():
 
     np.testing.assert_allclose(
         np.asarray(patch_gram_tokens_pallas(z, 3)),
-        np.asarray(patch_gram_tokens(z, 3)),
+        np.asarray(gram_xla(z, 3)),
         atol=2e-3, rtol=2e-3,
     )
-    t_xla = chained_time(make_gram(patch_gram_tokens), z, w)
+    t_xla = chained_time(make_gram(gram_xla), z, w)
     t_pal = chained_time(make_gram(patch_gram_tokens_pallas), z, w)
     print(f"gram+proj  XLA: {t_xla*1e6:9.1f}us   pallas: {t_pal*1e6:9.1f}us   "
           f"XLA-relative x{t_xla/t_pal:.2f}")
+    if args.record:
+        kernel_select.record(
+            "patch_gram_tokens", "pallas" if t_pal < t_xla else "xla",
+            t_xla * 1e6, t_pal * 1e6, f"b{B}x14x14x96 div3",
+        )
+        print(f"recorded -> {kernel_select.RECORD_PATH}")
 
     # ---- fused stem (uint8 -> s4 patch-embed, shipped ndf=32) ----
     imgs = jax.device_put(rng.randint(0, 256, (B, 224, 224, 3), np.uint8))

@@ -41,7 +41,7 @@ def enable_parity_precision() -> None:
     the MXU); for bit-faithful comparison against the f32 PyTorch reference,
     call this first.  Production inference keeps the fast default (bf16-class
     accumulation is far inside the models' decision margins — verified by the
-    threshold-level tests in tests/test_engine.py).
+    bf16 argmax-parity sweep over every golden fixture, README Performance).
     """
     import jax
 

@@ -100,6 +100,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--auto_mapping", action="store_true")
     # tsne / clustering
     p.add_argument("--per_task_tsne", action="store_true")
+    p.add_argument("--no_thumbnails", action="store_true",
+                   help="tsne_interactive: skip embedding click-to-view thumbnails")
+    p.add_argument("--thumb_limit", type=int, default=2000,
+                   help="tsne_interactive: max unique images embedded as thumbnails")
     p.add_argument("--colors", nargs="+", default=None)
     p.add_argument("--embedding_kind", choices=["logits", "task", "shared", "pooled"],
                    default=None, help="embedding tap (default: family-native)")
@@ -377,6 +381,8 @@ def main(argv=None) -> int:
             export_interactive_html(
                 x2d, labs, tasks_dict, paths,
                 os.path.join(args.save_dir, "tsne_interactive.html"),
+                thumbnails=not args.no_thumbnails,
+                thumb_limit=args.thumb_limit,
             )
 
     elif args.mode == "clustering":

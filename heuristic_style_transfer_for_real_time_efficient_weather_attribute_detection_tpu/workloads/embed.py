@@ -142,20 +142,60 @@ def perform_tsne(
     return x2d, out
 
 
+def _encode_thumbnails(
+    all_paths: List[str], limit: int, size: int
+) -> Dict[str, str]:
+    """{path: base64 JPEG thumbnail} for up to ``limit`` unique paths."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    uniq: List[str] = []
+    seen = set()
+    for p in all_paths:
+        if p and p not in seen:
+            seen.add(p)
+            uniq.append(p)
+    if len(uniq) > limit:
+        print(f"[tsne] embedding thumbnails for {limit} of {len(uniq)} images "
+              f"(--thumb_limit to raise); the rest show path-only on click")
+    thumbs: Dict[str, str] = {}
+    for p in uniq[:limit]:
+        try:
+            with Image.open(p) as im:
+                im = im.convert("RGB")
+                im.thumbnail((size, size))
+                buf = io.BytesIO()
+                im.save(buf, "JPEG", quality=70)
+            thumbs[p] = base64.b64encode(buf.getvalue()).decode("ascii")
+        except Exception:
+            continue  # unreadable image -> click shows path only
+    return thumbs
+
+
 def export_interactive_html(
     per_task_x2d: Dict[str, np.ndarray],
     per_task_labels: Dict[str, np.ndarray],
     tasks_dict: Dict[str, List[str]],
     paths: Dict[str, List[str]],
     out_path: str,
+    thumbnails: bool = True,
+    thumb_limit: int = 2000,
+    thumb_size: int = 128,
 ) -> str:
     """Headless replacement for the Tkinter viewer (utils/tsne_utils.py:131-468):
     one self-contained HTML with a task dropdown, canvas scatter, hover path
-    display, click-to-copy, and the reference's polygon selector — press
-    ``p`` to toggle polygon mode, click vertices, double-click to close; the
-    browser downloads ``inside_polygon_<task>.json`` with inside/outside
-    point lists (reference: right-click polygon -> JSON dump,
+    display, cursor-centered wheel zoom, a per-class color picker (reference
+    :213), click-to-VIEW the clicked point's image from embedded base64
+    thumbnails (reference :363 ImageTk display; capped at ``thumb_limit``
+    unique images, path-only beyond), and the reference's polygon selector —
+    press ``p`` to toggle polygon mode, click vertices, double-click to
+    close; the browser downloads ``inside_polygon_<task>.json`` with
+    inside/outside point lists (reference: right-click polygon -> JSON dump,
     utils/tsne_utils.py:~300).  No display server needed."""
+    from ._embed_html import VIEWER_JS
+
     payload = {
         t: {
             "xy": np.asarray(x2d, np.float32).round(3).tolist(),
@@ -165,67 +205,27 @@ def export_interactive_html(
         }
         for t, x2d in per_task_x2d.items()
     }
+    thumbs: Dict[str, str] = {}
+    if thumbnails:
+        thumbs = _encode_thumbnails(
+            [p for t in payload.values() for p in t["paths"]],
+            thumb_limit, thumb_size,
+        )
     html = (
         "<!DOCTYPE html><html><head><meta charset='utf-8'><title>t-SNE</title>"
-        "<style>body{font-family:sans-serif}#c{border:1px solid #888}</style>"
-        "</head><body><select id='task'></select> <span id='info'></span><br>"
-        "<canvas id='c' width='900' height='900'></canvas>"
+        "<style>body{font-family:sans-serif;display:flex;gap:12px}"
+        "#c{border:1px solid #888}#side{width:300px}"
+        "#pv{max-width:280px;display:none;border:1px solid #aaa}"
+        "#legend div{margin:2px 0}#pvcap{font-size:12px;word-break:break-all}"
+        "</style></head><body><div>"
+        "<select id='task'></select> <span id='info'></span><br>"
+        "<canvas id='c' width='900' height='900'></canvas></div>"
+        "<div id='side'><div id='legend'></div><hr>"
+        "<img id='pv'><div id='pvcap'></div></div>"
         "<script>const DATA=" + json.dumps(payload) + ";\n"
-        + """
-const sel=document.getElementById('task'),cv=document.getElementById('c'),
-ctx=cv.getContext('2d'),info=document.getElementById('info');
-const PAL=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd','#8c564b',
-'#e377c2','#7f7f7f','#bcbd22','#17becf'];
-Object.keys(DATA).forEach(t=>{const o=document.createElement('option');
-o.value=t;o.textContent=t;sel.appendChild(o);});
-let pts=[],zoom=1,cx=450,cy=450;
-function draw(){const d=DATA[sel.value];ctx.clearRect(0,0,900,900);pts=[];
-if(!d.xy.length)return;
-const xs=d.xy.map(p=>p[0]),ys=d.xy.map(p=>p[1]);
-const x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);
-d.xy.forEach((p,i)=>{let x=30+840*(p[0]-x0)/((x1-x0)||1),
-y=30+840*(p[1]-y0)/((y1-y0)||1);
-x=(x-cx)*zoom+450;y=(y-cy)*zoom+450;
-const l=d.labels[i];
-ctx.fillStyle=l>=0?PAL[l%PAL.length]:'#000';
-ctx.beginPath();ctx.arc(x,y,4,0,6.3);ctx.fill();pts.push([x,y,i]);});
-ctx.font='12px sans-serif';
-d.classes.forEach((c,i)=>{ctx.fillStyle=PAL[i%PAL.length];
-ctx.fillText(c,740,20+14*i);});}
-cv.onwheel=e=>{e.preventDefault();const r=cv.getBoundingClientRect();
-const mx=e.clientX-r.left,my=e.clientY-r.top;
-// zoom centered on the cursor (reference: wheel zoom centered on last click)
-cx=cx+(mx-450)/zoom;cy=cy+(my-450)/zoom;
-zoom*=e.deltaY<0?1.25:0.8;zoom=Math.max(0.2,Math.min(50,zoom));
-cx=cx-(mx-450)/zoom;cy=cy-(my-450)/zoom;draw();drawPoly();};
-cv.onmousemove=e=>{const r=cv.getBoundingClientRect(),
-mx=e.clientX-r.left,my=e.clientY-r.top;const d=DATA[sel.value];
-for(const[x,y,i]of pts){if((x-mx)**2+(y-my)**2<25){
-info.textContent=(d.paths[i]||'')+' / '+(d.classes[d.labels[i]]||'Unknown');return;}}
-info.textContent='';};
-let polyMode=false,poly=[];
-document.addEventListener('keydown',e=>{if(e.key==='p'){polyMode=!polyMode;
-poly=[];draw();info.textContent=polyMode?'polygon mode: click vertices, double-click to close':'';}});
-function drawPoly(){if(!poly.length)return;ctx.strokeStyle='#d00';ctx.beginPath();
-ctx.moveTo(poly[0][0],poly[0][1]);poly.slice(1).forEach(p=>ctx.lineTo(p[0],p[1]));
-ctx.stroke();}
-function inside(x,y){let c=false;for(let i=0,j=poly.length-1;i<poly.length;j=i++){
-const[xi,yi]=poly[i],[xj,yj]=poly[j];
-if((yi>y)!=(yj>y)&&x<(xj-xi)*(y-yi)/(yj-yi)+xi)c=!c;}return c;}
-cv.onclick=e=>{const r=cv.getBoundingClientRect(),mx=e.clientX-r.left,my=e.clientY-r.top;
-if(polyMode){poly.push([mx,my]);draw();drawPoly();return;}
-if(info.textContent)navigator.clipboard&&
-navigator.clipboard.writeText(info.textContent.split(' / ')[0]);};
-cv.ondblclick=()=>{if(!polyMode||poly.length<3)return;
-const d=DATA[sel.value],ins=[],outs=[];
-pts.forEach(([x,y,i])=>{(inside(x,y)?ins:outs).push(d.paths[i]||String(i));});
-const blob=new Blob([JSON.stringify({inside:ins,outside:outs},null,2)],
-{type:'application/json'});
-const a=document.createElement('a');a.href=URL.createObjectURL(blob);
-a.download='inside_polygon_'+sel.value.replace(/ /g,'_')+'.json';a.click();
-polyMode=false;poly=[];draw();};
-sel.onchange=draw;draw();
-</script></body></html>"""
+        "const THUMBS=" + json.dumps(thumbs) + ";\n"
+        + VIEWER_JS
+        + "</script></body></html>"
     )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -168,6 +168,20 @@ def test_embeddings_and_tsne(tmp_path, model):
         str(tmp_path / "viz" / "tsne.html"),
     )
     assert os.path.getsize(html) > 1000
+    src = open(html).read()
+    # click-to-view thumbnails embedded (reference tsne_utils.py:363) and the
+    # per-class color picker (reference :213)
+    assert "const THUMBS=" in src and "/9j/" in src  # base64 JPEG magic
+    assert "input" in src and "color" in src
+    # thumbnail cap respected
+    html2 = export_interactive_html(
+        {"Weather Type": x2d}, {"Weather Type": labs["Weather Type"]},
+        {"Weather Type": ["Clear", "Rain", "Snow", "Fog"]},
+        {"Weather Type": paths["Weather Type"]},
+        str(tmp_path / "viz" / "tsne2.html"), thumb_limit=2,
+    )
+    src2 = open(html2).read()
+    assert src2.count("/9j/") <= 2
 
 
 def test_headless_recording_writes_video(model, tmp_path):

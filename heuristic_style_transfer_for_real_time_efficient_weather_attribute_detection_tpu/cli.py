@@ -127,6 +127,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--focal_gamma", type=float, default=2.0)
     p.add_argument("--val_split", type=float, default=0.2)
     p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--dropout_rate", type=float, default=0.1,
+                   help="transformer train-mode dropout (reference default)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from save_dir/last_state (full optimizer state)")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="epochs between resumable TrainState checkpoints")
     # serve mode
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -275,7 +281,8 @@ def main(argv=None) -> int:
                 accum_steps=args.accum_steps, balance_loss=args.balance_loss,
                 use_focal=args.use_focal, focal_gamma=args.focal_gamma,
                 val_split=args.val_split, freeze_encoder=args.freeze_encoder,
-                num_workers=args.num_workers,
+                num_workers=args.num_workers, dropout_rate=args.dropout_rate,
+                resume=args.resume, save_every=args.save_every,
             ),
             init_params=engine.params if args.model_path else None,
         )

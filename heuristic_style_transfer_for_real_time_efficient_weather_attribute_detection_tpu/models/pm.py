@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import TaskSpec
 from ..ops.nn import init_conv, init_linear
-from .trunk import apply_trunk, init_trunk, trunk_plan
+from .trunk import apply_trunk, apply_trunk_train, init_trunk, trunk_plan
 
 DEFAULTS = dict(
     ndf=64,
@@ -217,3 +217,17 @@ def apply(
         )
         aux["task_embeddings"] = num / (jnp.sum(a, axis=-1, keepdims=True) + 1e-6)
     return logits, aux
+
+
+def apply_train(
+    params: Dict[str, Any], x: jnp.ndarray, spec: Spec, rng=None,
+    dropout_rate: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Training-mode forward: BatchNorm batch statistics + running-stat
+    updates when spec.norm == "batch" (train == eval for instance norm; the
+    PM heads are norm-free).  Returns (stacked_logits, {"trunk": updated}).
+    """
+    del rng, dropout_rate  # PM has no dropout sites
+    feats, new_trunk = apply_trunk_train(params["trunk"], x, spec.plan, spec.norm)
+    logits, _ = _head_outputs(params, feats, spec)
+    return logits, {"trunk": new_trunk}

@@ -174,10 +174,13 @@ def head_apply(
     feats: jnp.ndarray,
     spec: Spec,
     capture: Sequence[str] = (),
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Everything after the trunk: SE -> chan_proj -> Gram -> transformer ->
     task pooling -> heads.  Split out so Grad-CAM can differentiate logits
-    w.r.t. trunk features (workloads/explain.py)."""
+    w.r.t. trunk features (workloads/explain.py).  ``dropout_rate``/``rng``
+    enable the transformer's train-mode dropout (apply_train)."""
     aux: Dict[str, jnp.ndarray] = {}
     h = se_block(feats, params["se"]) if spec.use_channel_attention else feats
     z = conv2d(h, params["chan_proj"])
@@ -185,7 +188,8 @@ def head_apply(
     tokens = linear(tokens, params["token_proj"])
     if spec.has_transformer:
         tokens = transformer_encoder(
-            tokens, params["transformer"], spec.transformer_heads
+            tokens, params["transformer"], spec.transformer_heads,
+            dropout_rate=dropout_rate, rng=rng,
         )
     if "tokens" in capture:
         aux["tokens"] = tokens
@@ -197,15 +201,21 @@ def head_apply(
 
 
 def apply_train(
-    params: Dict[str, Any], x: jnp.ndarray, spec: Spec
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    spec: Spec,
+    rng=None,
+    dropout_rate: float = 0.1,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Training-mode forward: BatchNorm batch statistics + running-stat
-    updates.  Returns (stacked_logits, trunk params with updated stats).
-    Transformer dropout is intentionally off (deterministic training).
+    updates, and the reference transformer's dropout=0.1
+    (models_PMG.py:146) when ``rng`` is given (rng=None -> deterministic).
+    Returns (stacked_logits, {param subtree name: updated subtree}) — the
+    train step merges only the running statistics back.
     """
     feats, new_trunk = apply_trunk_train(params["trunk"], x, spec.plan, spec.norm)
-    logits, _ = head_apply(params, feats, spec)
-    return logits, new_trunk
+    logits, _ = head_apply(params, feats, spec, dropout_rate=dropout_rate, rng=rng)
+    return logits, {"trunk": new_trunk}
 
 
 def trunk_features(params: Dict[str, Any], x: jnp.ndarray, spec: Spec) -> jnp.ndarray:

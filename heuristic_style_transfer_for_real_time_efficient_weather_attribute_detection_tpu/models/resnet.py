@@ -156,3 +156,70 @@ def apply_truncated_from_stem(
     truncated children (the re-entry point for stem-targeted Grad-CAM)."""
     n = max(1, min(truncate_after_layer, len(CHILDREN)))
     return _apply_children(params, a, CHILDREN[1:n])
+
+
+# ---------------------------------------------------------------------------
+# Training mode: BatchNorm batch statistics + running-stat updates
+# ---------------------------------------------------------------------------
+
+
+def _bn_train(x: jnp.ndarray, p: Dict[str, Any], momentum: float = 0.1):
+    """(y, updated norm params) — torch semantics: momentum 0.1, unbiased
+    variance in the running update."""
+    from ..ops.norms import batch_norm_train
+
+    y, mean, var = batch_norm_train(x, p)
+    n = x.size // x.shape[-1]
+    unbiased = var * (n / max(n - 1, 1))
+    new = {
+        "scale": p["scale"],
+        "bias": p["bias"],
+        "mean": (1 - momentum) * p["mean"] + momentum * mean,
+        "var": (1 - momentum) * p["var"] + momentum * unbiased,
+    }
+    return y, new
+
+
+def _apply_block_train(p: Dict[str, Any], x: jnp.ndarray, stride: int):
+    new_p = dict(p)
+    identity = x
+    h = conv2d(x, p["conv1"])
+    h, new_p["bn1"] = _bn_train(h, p["bn1"])
+    h = jax.nn.relu(h)
+    h = conv2d(h, p["conv2"], stride=stride, padding=1)
+    h, new_p["bn2"] = _bn_train(h, p["bn2"])
+    h = jax.nn.relu(h)
+    h = conv2d(h, p["conv3"])
+    h, new_p["bn3"] = _bn_train(h, p["bn3"])
+    if "downsample" in p:
+        identity = conv2d(x, p["downsample"]["conv"], stride=stride)
+        identity, ds_bn = _bn_train(identity, p["downsample"]["bn"])
+        new_p["downsample"] = {"conv": p["downsample"]["conv"], "bn": ds_bn}
+    return jax.nn.relu(h + identity), new_p
+
+
+def apply_truncated_train(
+    params: Dict[str, Any], x: jnp.ndarray, truncate_after_layer: int
+):
+    """Training-mode truncated forward.  Returns (features, params with
+    updated BN running stats — weights unchanged)."""
+    n = max(1, min(truncate_after_layer, len(CHILDREN)))
+    new_params = dict(params)
+    for child in CHILDREN[:n]:
+        if child == "conv1":
+            x = conv2d(x, params["conv1"], stride=2, padding=3)
+        elif child == "bn1":
+            x, new_params["bn1"] = _bn_train(x, params["bn1"])
+        elif child == "relu":
+            x = jax.nn.relu(x)
+        elif child == "maxpool":
+            x = max_pool_3x3_s2(x)
+        else:
+            si = int(child[-1]) - 1
+            blocks = []
+            for bi, bp in enumerate(params[child]):
+                stride = 1 if (si == 0 or bi > 0) else 2
+                x, nb = _apply_block_train(bp, x, stride)
+                blocks.append(nb)
+            new_params[child] = blocks
+    return x, new_params

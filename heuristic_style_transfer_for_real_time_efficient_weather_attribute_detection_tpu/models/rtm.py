@@ -145,6 +145,22 @@ def head_apply(
     return _classify(params, emb), aux
 
 
+def apply_train(
+    params: Dict[str, Any], x: jnp.ndarray, spec: Spec, rng=None,
+    dropout_rate: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Training-mode forward: the ResNet backbone's BatchNorms use batch
+    statistics and return updated running stats (torch train() semantics for
+    the truncated encoder).  Returns (stacked_logits, {"backbone": updated}).
+    """
+    del rng, dropout_rate  # RTM has no dropout sites
+    feats, new_backbone = resnet.apply_truncated_train(
+        params["backbone"], x, spec.truncate_after_layer
+    )
+    logits, _ = head_apply(params, feats, spec)
+    return logits, {"backbone": new_backbone}
+
+
 def apply(
     params: Dict[str, Any],
     x: jnp.ndarray,

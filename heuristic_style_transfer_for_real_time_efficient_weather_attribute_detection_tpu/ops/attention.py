@@ -20,8 +20,22 @@ from .nn import linear
 from .norms import layer_norm
 
 
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale kept units by 1/keep).
+    Identity when ``rng`` is None or rate == 0 (eval mode)."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(m, x / keep, 0.0).astype(x.dtype)
+
+
 def multi_head_attention(
-    x: jnp.ndarray, p: Dict[str, jnp.ndarray], num_heads: int
+    x: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> jnp.ndarray:
     """Self-attention matching ``torch.nn.MultiheadAttention`` (batch_first).
 
@@ -29,6 +43,8 @@ def multi_head_attention(
     wq/wk/wv/wo: [D, D] input-major, bq/bk/bv/bo: [D].
     Torch scales q by 1/sqrt(head_dim) before the score matmul
     (reference transformer: models_PMG.py:60-72 via TransformerEncoderLayer).
+    ``dropout_rate``/``rng`` enable torch's attention-probability dropout
+    (train mode only).
     """
     b, n, d = x.shape
     h = num_heads
@@ -44,6 +60,7 @@ def multi_head_attention(
     q = q * (1.0 / math.sqrt(hd))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     w = jax.nn.softmax(scores, axis=-1)
+    w = dropout(w, dropout_rate, rng)
     o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
     return (
@@ -52,21 +69,33 @@ def multi_head_attention(
 
 
 def transformer_encoder(
-    x: jnp.ndarray, layers: List[Dict], num_heads: int
+    x: jnp.ndarray,
+    layers: List[Dict],
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> jnp.ndarray:
     """Pre-norm transformer encoder stack, ReLU FFN, no final norm.
 
     Matches ``nn.TransformerEncoder(TransformerEncoderLayer(norm_first=True))``
-    in eval mode (dropout off) — reference models_PMG.py:60-72.  The token
-    count is tiny (Np = patch_div^2 = 9..16) so flash attention is pointless;
-    a single fused XLA computation is the right shape on TPU.
+    — reference models_PMG.py:60-72, which hardcodes dropout=0.1 in train
+    mode (models_PMG.py:146); pass ``dropout_rate``/``rng`` to reproduce its
+    four dropout sites (attention probs, attn output, FFN inner, FFN output).
+    Eval mode (rng=None) is dropout-free.  The token count is tiny
+    (Np = patch_div^2 = 9..16) so flash attention is pointless; a single
+    fused XLA computation is the right shape on TPU.
     """
-    for p in layers:
+    for li, p in enumerate(layers):
+        if rng is not None:
+            k_attn, k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, li), 4)
+        else:
+            k_attn = k1 = k2 = k3 = None
         h = layer_norm(x, p["norm1"])
-        x = x + multi_head_attention(h, p["attn"], num_heads)
+        a = multi_head_attention(h, p["attn"], num_heads, dropout_rate, k_attn)
+        x = x + dropout(a, dropout_rate, k1)
         h = layer_norm(x, p["norm2"])
-        h = jax.nn.relu(linear(h, p["ffn1"]))
-        x = x + linear(h, p["ffn2"])
+        h = dropout(jax.nn.relu(linear(h, p["ffn1"])), dropout_rate, k2)
+        x = x + dropout(linear(h, p["ffn2"]), dropout_rate, k3)
     return x
 
 

@@ -158,6 +158,26 @@ def compute_class_weights(
     return out
 
 
+def _merge_stats(current, updated):
+    """Adopt only BatchNorm running statistics from a train-mode forward's
+    updated subtree, preserving the optimizer-updated weights/scales."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, cur, upd: upd
+        if (set(_path_names(path)) & _STATS_KEYS)
+        else cur,
+        current,
+        updated,
+    )
+
+
+def _family_trains_bn(family: str, spec) -> bool:
+    """PMG/PM carry BatchNorms only when spec.norm == 'batch'; RTM's ResNet
+    backbone always does."""
+    if family == "rtm":
+        return True
+    return getattr(spec, "norm", None) == "batch"
+
+
 def make_train_step(
     family: str,
     spec,
@@ -169,6 +189,8 @@ def make_train_step(
     class_weights=None,
     freeze_encoder: bool = False,
     bn_train: bool = True,
+    dropout_rate: float = 0.1,
+    dropout_seed: int = 1234,
 ) -> Tuple[Callable, Callable]:
     """Returns (init_fn(key) -> TrainState, step_fn(state, images, labels)).
 
@@ -176,29 +198,42 @@ def make_train_step(
     IGNORE_INDEX for missing annotations (the dataset contract,
     utils/datasets_utils.py:150-183).  Batch sharded over 'data' when a mesh
     is given.  ``bn_train`` enables BatchNorm batch statistics + running-stat
-    updates for families that support it (PMG); ``freeze_encoder`` zeroes
+    updates (PMG/PM with norm='batch'; RTM's backbone always);
+    ``dropout_rate`` drives the PMG transformer's train-mode dropout
+    (reference hardcodes 0.1, models_PMG.py:146; rng folds the step counter
+    so every step draws fresh masks); ``freeze_encoder`` zeroes
     trunk/backbone gradients (the recorded ``freeze_encoder`` option).
     """
     mod = get_family(family)
     mask = jnp.asarray(class_mask(spec.tasks))
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     gamma = focal_gamma if use_focal else None
-    has_bn_train = bn_train and hasattr(mod, "apply_train") and getattr(
-        spec, "norm", None
-    ) == "batch"
+    train_mode = hasattr(mod, "apply_train") and (
+        (bn_train and _family_trains_bn(family, spec)) or dropout_rate > 0
+    )
+    drop_key = jax.random.PRNGKey(dropout_seed)
 
-    def loss_fn(params, images, labels):
-        if has_bn_train:
-            logits, new_trunk = mod.apply_train(params, images, spec)
+    def loss_fn(params, images, labels, step_idx):
+        if train_mode:
+            rng = (
+                jax.random.fold_in(drop_key, step_idx)
+                if dropout_rate > 0
+                else None
+            )
+            logits, stat_updates = mod.apply_train(
+                params, images, spec, rng=rng, dropout_rate=dropout_rate
+            )
+            if not (bn_train and _family_trains_bn(family, spec)):
+                stat_updates = None
         else:
             logits, _ = mod.apply(params, images, spec)
-            new_trunk = None
+            stat_updates = None
         per_task, counts = masked_cross_entropy_ex(
             logits, labels, mask, class_weights=cw, focal_gamma=gamma
         )
         present = (counts > 0).astype(jnp.float32)
         loss = jnp.sum(per_task * present) / jnp.maximum(jnp.sum(present), 1.0)
-        return loss, new_trunk
+        return loss, stat_updates
 
     def _zero_encoder(grads):
         return jax.tree_util.tree_map_with_path(
@@ -209,8 +244,8 @@ def make_train_step(
         )
 
     def step(state: TrainState, images, labels):
-        (loss, new_trunk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels
+        (loss, stat_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, labels, state.step
         )
         if freeze_encoder:
             grads = _zero_encoder(grads)
@@ -220,15 +255,16 @@ def make_train_step(
             # otherwise still shrink frozen weights despite zero gradients
             updates = _zero_encoder(updates)
         params = optax.apply_updates(state.params, updates)
-        if new_trunk is not None:
+        if stat_updates is not None:
             # Running stats are not gradient-updated; adopt the batch-stat
-            # exponential update, preserving the optimizer-updated scale/bias.
-            merged = []
-            for upd, cur in zip(new_trunk, params["trunk"]):
-                norm = dict(cur["norm"])
-                norm["mean"], norm["var"] = upd["norm"]["mean"], upd["norm"]["var"]
-                merged.append({"conv": cur["conv"], "norm": norm})
-            params = {**params, "trunk": merged}
+            # exponential update, preserving the optimizer-updated weights.
+            params = {
+                **params,
+                **{
+                    root: _merge_stats(params[root], upd)
+                    for root, upd in stat_updates.items()
+                },
+            }
         return TrainState(params, opt_state, state.step + 1), loss
 
     template = mod.init(jax.random.PRNGKey(0), spec) if optimizer is None else None

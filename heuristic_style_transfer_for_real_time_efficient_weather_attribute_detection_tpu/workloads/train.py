@@ -51,6 +51,13 @@ DEFAULT_OPTIONS: Dict[str, Any] = {
     "seed": 0,
     "shuffle_each_epoch": True,
     "num_workers": 4,
+    # reference transformer trains with dropout 0.1 (models_PMG.py:146);
+    # 0.0 restores the deterministic round-1 behavior
+    "dropout_rate": 0.1,
+    # mid-training resume: save full TrainState (params + optimizer moments +
+    # step) every save_every epochs; resume=True continues from it
+    "save_every": 1,
+    "resume": False,
     # None = auto (cache decoded images in host RAM when they fit the budget,
     # else stream-decode per batch each epoch)
     "cache_in_memory": None,
@@ -162,6 +169,7 @@ def fit(
         family, spec, optimizer, mesh=mesh,
         use_focal=opts["use_focal"], focal_gamma=opts["focal_gamma"],
         class_weights=class_weights, freeze_encoder=opts["freeze_encoder"],
+        dropout_rate=opts["dropout_rate"], dropout_seed=opts["seed"] + 1234,
     )
     state = init_fn(jax.random.PRNGKey(opts["seed"]))
     if init_params is not None:
@@ -170,6 +178,22 @@ def fit(
     bs = opts["batch_size"]
     history = []
     best_f1, best_params = -1.0, state.params
+    start_epoch = 0
+    last_dir = os.path.join(save_dir, "last_state")
+    progress_path = os.path.join(save_dir, "train_progress.json")
+    if opts["resume"] and os.path.exists(progress_path):
+        with open(progress_path) as f:
+            progress = json.load(f)
+        state = checkpoint.load_native(last_dir, like=state)
+        start_epoch = int(progress["next_epoch"])
+        history = progress["history"]
+        best_f1 = float(progress["best_f1"])
+        best_dir = os.path.join(save_dir, "best_model")
+        if os.path.exists(best_dir):
+            best_params = checkpoint.load_native(best_dir, like=state.params)
+        print(f"[fit] resumed from epoch {start_epoch} "
+              f"(step {int(state.step)}, best_f1 {best_f1:.4f})")
+
     eval_idx = val_idx if n_val else train_idx[: min(64, len(train_idx))]
     val_imgs, val_labels = fetch(eval_idx), all_labels[eval_idx]
     # One compiled eval engine for all epochs (params swap without retrace:
@@ -177,8 +201,14 @@ def fit(
     eval_engine = Engine(family, spec, state.params,
                          batch_size=min(bs, 64), prob_threshold=0.0)
 
-    for epoch in range(opts["epochs"]):
-        order = rng.permutation(train_idx) if opts["shuffle_each_epoch"] else train_idx
+    for epoch in range(start_epoch, opts["epochs"]):
+        # per-epoch seeded order -> identical schedule across resumes
+        epoch_rng = np.random.RandomState(opts["seed"] * 100003 + 17 + epoch)
+        order = (
+            epoch_rng.permutation(train_idx)
+            if opts["shuffle_each_epoch"]
+            else train_idx
+        )
         if len(order) < bs:
             order = np.resize(order, bs)  # tile small datasets to one batch
         losses = []
@@ -207,6 +237,14 @@ def fit(
               f"val_f1={val_f1:.4f} ({entry['seconds']}s)")
         if val_f1 >= best_f1:
             best_f1, best_params = val_f1, jax.device_get(state.params)
+            checkpoint.save_native(best_params, os.path.join(save_dir, "best_model"))
+        if opts["save_every"] and (epoch + 1) % opts["save_every"] == 0:
+            # Full TrainState (params + optimizer moments + step): resuming
+            # reproduces the exact run, not a warm restart
+            checkpoint.save_native(state, last_dir)
+            with open(progress_path, "w") as f:
+                json.dump({"next_epoch": epoch + 1, "history": history,
+                           "best_f1": best_f1}, f, indent=2)
 
     ckpt_dir = os.path.join(save_dir, "best_model")
     checkpoint.save_native(best_params, ckpt_dir)

@@ -24,7 +24,8 @@ def test_bn_train_updates_running_stats():
     spec = pmg.build_spec(TASKS, TINY)
     params = pmg.init(jax.random.PRNGKey(0), spec)
     x = np.random.RandomState(0).randn(8, 32, 32, 3).astype(np.float32)
-    logits, new_trunk = pmg.apply_train(params, x, spec)
+    logits, updates = pmg.apply_train(params, x, spec)
+    new_trunk = updates["trunk"]
     assert logits.shape == (8, 2, 3)
     # stats moved from init (mean 0 / var 1) toward batch statistics
     m0 = np.asarray(params["trunk"][0]["norm"]["mean"])
@@ -130,3 +131,93 @@ def test_freeze_encoder_keeps_trunk_fixed():
         np.asarray(init_fn(jax.random.PRNGKey(0)).params["queries"]),
         np.asarray(state.params["queries"]),
     )
+
+
+def test_rtm_bn_train_updates_backbone_stats():
+    import jax
+
+    from wadt.models import rtm
+
+    spec = rtm.build_spec(TASKS, dict(truncate_layer=5, use_attention=False))
+    params = rtm.init(jax.random.PRNGKey(0), spec)
+    x = np.random.RandomState(0).randn(4, 64, 64, 3).astype(np.float32)
+    logits, updates = rtm.apply_train(params, x, spec)
+    nb = updates["backbone"]
+    assert logits.shape == (4, 2, 3)
+    assert not np.allclose(np.asarray(params["backbone"]["bn1"]["mean"]),
+                           np.asarray(nb["bn1"]["mean"]))
+    assert not np.allclose(
+        np.asarray(params["backbone"]["layer1"][0]["bn2"]["mean"]),
+        np.asarray(nb["layer1"][0]["bn2"]["mean"]))
+    # weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["backbone"]["conv1"]["w"]),
+        np.asarray(nb["conv1"]["w"]))
+
+
+def test_pm_bn_train_updates_trunk_stats():
+    import jax
+
+    from wadt.models import pm
+
+    spec = pm.build_spec(TASKS, dict(ndf=8, patch_size=16, norm="batch"))
+    params = pm.init(jax.random.PRNGKey(0), spec)
+    x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    logits, updates = pm.apply_train(params, x, spec)
+    assert logits.shape == (4, 2, 3)
+    assert not np.allclose(np.asarray(params["trunk"][0]["norm"]["mean"]),
+                           np.asarray(updates["trunk"][0]["norm"]["mean"]))
+
+
+def test_pmg_transformer_dropout():
+    """rng=None == eval forward; two rngs give different logits; rate=0 is
+    rng-independent (the reference trains its transformer with dropout=0.1,
+    models_PMG.py:146)."""
+    import jax
+
+    spec = pmg.build_spec(TASKS, {**TINY, "norm": "instance"})
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    eval_logits, _ = pmg.apply(params, x, spec)
+    det, _ = pmg.apply_train(params, x, spec, rng=None)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(eval_logits), atol=1e-5)
+    a, _ = pmg.apply_train(params, x, spec, rng=jax.random.PRNGKey(1))
+    b, _ = pmg.apply_train(params, x, spec, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    c, _ = pmg.apply_train(params, x, spec, rng=jax.random.PRNGKey(1),
+                           dropout_rate=0.0)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(eval_logits), atol=1e-5)
+
+
+def test_fit_resume_matches_straight_run(tmp_path):
+    """epochs=1 + resume to 3 must reproduce a straight 3-epoch run exactly
+    (full optimizer state + per-epoch seeded order + step-folded dropout)."""
+    import jax
+
+    from tools.make_synth_dataset import make as make_synth
+    from wadt.workloads.train import fit
+
+    synth = make_synth(str(tmp_path / "synth"), n_per_class=3, size=64)
+    tasks = json.load(open(os.path.join(synth, "tasks.json")))
+    spec = pmg.build_spec(tasks, TINY)
+    opts = dict(epochs=3, batch_size=4, val_split=0.25, num_workers=2,
+                dropout_rate=0.1, seed=3)
+
+    out_a = fit("pmg", spec, os.path.join(synth, "dataset.json"),
+                os.path.join(synth, "tasks.json"), str(tmp_path / "a"),
+                options=opts)
+
+    fit("pmg", spec, os.path.join(synth, "dataset.json"),
+        os.path.join(synth, "tasks.json"), str(tmp_path / "b"),
+        options={**opts, "epochs": 1})
+    out_b = fit("pmg", spec, os.path.join(synth, "dataset.json"),
+                os.path.join(synth, "tasks.json"), str(tmp_path / "b"),
+                options={**opts, "resume": True})
+
+    assert [h["epoch"] for h in out_b["history"]] == [0, 1, 2]
+    la = [h["train_loss"] for h in out_a["history"]]
+    lb = [h["train_loss"] for h in out_b["history"]]
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+    ja, jb = jax.tree_util.tree_leaves(out_a["params"]), jax.tree_util.tree_leaves(out_b["params"])
+    for x, y in zip(ja, jb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from ..config import TaskSpec
 from ..ops.attention import stacked_task_heads, task_query_pool, transformer_encoder
 from ..ops.gram import patch_gram_tokens
-from ..ops.nn import conv2d, init_conv, init_linear, init_se, linear, se_block
+from ..ops.nn import (
+    conv2d, init_conv, init_linear, init_se, leaky_relu, linear, se_block,
+)
+from ..ops.norms import apply_norm
 from .trunk import apply_trunk, apply_trunk_train, init_trunk, trunk_plan
 
 # Reference builder defaults (utils/PMG/PMG_model_utils.py:135-172).
@@ -216,6 +219,41 @@ def apply_train(
     feats, new_trunk = apply_trunk_train(params["trunk"], x, spec.plan, spec.norm)
     logits, _ = head_apply(params, feats, spec, dropout_rate=dropout_rate, rng=rng)
     return logits, {"trunk": new_trunk}
+
+
+def supports_packed_input(spec: Spec) -> bool:
+    """True when the first trunk block is non-overlapping (kernel == stride,
+    pad 0) so the packed-uint8 fast path (``apply_packed``) is exact."""
+    b0 = spec.plan[0]
+    return b0.kernel == b0.stride and b0.pad == 0
+
+
+def apply_packed(
+    params: Dict[str, Any], z8: jnp.ndarray, spec: Spec
+) -> jnp.ndarray:
+    """Latency-optimized forward from s2d-packed uint8 (the streaming path).
+
+    z8: [B, H/k, W/k, k*k*3] from ``ops.preprocess.s2d_pack_uint8``.  The
+    first non-overlapping conv becomes one GEMM over the packed channel axis
+    (bit-exact with ``apply`` after ``normalize_uint8``; asserted in
+    tests/test_explain_stream.py).  At batch=1 this avoids XLA's
+    batch-minor conv layout copies: 20 vs 57 us/frame on one v5e.
+    """
+    from ..ops.preprocess import normalize_uint8_packed
+
+    b0 = spec.plan[0]
+    assert supports_packed_input(spec), "first trunk block is overlapping"
+    x = normalize_uint8_packed(z8, b0.kernel)
+    p0 = params["trunk"][0]
+    w0 = p0["conv"]["w"].reshape(-1, b0.cout)
+    y = jnp.einsum("bhwc,cd->bhwd", x, w0, preferred_element_type=jnp.float32)
+    if p0["conv"].get("b") is not None:
+        y = y + p0["conv"]["b"]
+    y = leaky_relu(apply_norm(y, p0["norm"], spec.norm), 0.2)
+    for pp, bk in zip(params["trunk"][1:], spec.plan[1:]):
+        y = conv2d(y, pp["conv"], stride=bk.stride, padding=bk.pad)
+        y = leaky_relu(apply_norm(y, pp["norm"], spec.norm), 0.2)
+    return head_apply(params, y, spec)[0]
 
 
 def trunk_features(params: Dict[str, Any], x: jnp.ndarray, spec: Spec) -> jnp.ndarray:

@@ -34,7 +34,14 @@ from ..ops.preprocess import normalize_uint8
 
 
 class StreamPredictor:
-    """Compiled per-frame predictor with optional fused Kalman smoothing."""
+    """Compiled per-frame predictor with optional fused Kalman smoothing.
+
+    For PMG specs whose first trunk block is non-overlapping, the frame is
+    space-to-depth packed on the host (~90 us of numpy) and the device step
+    runs ``pmg.apply_packed`` — 20 vs 57 us/frame device compute on a v5e,
+    bit-exact (XLA's batch=1 conv lowering burns the difference in layout
+    copies).  Other families use the generic uint8 step.
+    """
 
     def __init__(self, family: str, spec, params, use_kalman: bool = False,
                  dtype=jnp.float32):
@@ -42,15 +49,33 @@ class StreamPredictor:
         self.use_kalman = use_kalman
         mod = get_family(family)
         mask = jnp.asarray(class_mask(self.tasks))
+        self._pack_k = None
+        if family == "pmg":
+            from ..models import pmg
 
-        @jax.jit
-        def step(params, frame_u8, kstate):
-            x = normalize_uint8(frame_u8[None], dtype)
-            logits, _ = mod.apply(params, x, spec)
-            probs = masked_softmax(logits.astype(jnp.float32), mask)[0]  # [T,K]
-            kstate, smoothed = kalman.filter_update(kstate, probs)
-            out = smoothed if use_kalman else probs
-            return out, kstate
+            if pmg.supports_packed_input(spec):
+                self._pack_k = spec.plan[0].kernel
+
+        if self._pack_k is not None:
+            from ..models import pmg
+
+            @jax.jit
+            def step(params, packed_u8, kstate):
+                logits = pmg.apply_packed(params, packed_u8, spec)
+                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
+                kstate, smoothed = kalman.filter_update(kstate, probs)
+                return smoothed if use_kalman else probs, kstate
+
+        else:
+
+            @jax.jit
+            def step(params, frame_u8, kstate):
+                x = normalize_uint8(frame_u8[None], dtype)
+                logits, _ = mod.apply(params, x, spec)
+                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]  # [T,K]
+                kstate, smoothed = kalman.filter_update(kstate, probs)
+                out = smoothed if use_kalman else probs
+                return out, kstate
 
         self._step = step
         self.params = params
@@ -61,7 +86,13 @@ class StreamPredictor:
 
     def __call__(self, frame_u8: np.ndarray) -> np.ndarray:
         """frame_u8: [H,W,3] uint8 (224px) -> per-task probs [T, Kmax]."""
-        probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
+        if self._pack_k is not None:
+            from ..ops.preprocess import s2d_pack_uint8
+
+            frame_u8 = s2d_pack_uint8(frame_u8[None], self._pack_k)
+            probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
+        else:
+            probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
         return np.asarray(probs)
 
     def labels(self, probs: np.ndarray, prob_threshold: float):

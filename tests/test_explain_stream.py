@@ -213,3 +213,63 @@ def test_embedding_kind_validation(model):
     eng = Engine("pmg", spec, params, batch_size=4)
     with pytest.raises(ValueError, match="not exposed"):
         compute_embeddings(eng, [], kind="task")
+
+
+def test_packed_forward_bitexact():
+    """pmg.apply_packed == apply(normalize_uint8(...)) for non-overlapping
+    first blocks (the streaming fast path's correctness contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.models import pmg
+    from wadt.ops.preprocess import normalize_uint8, s2d_pack_uint8
+
+    spec = pmg.build_spec(
+        {"A": ["a0", "a1"], "B": ["b0", "b1", "b2"]},
+        dict(ndf=8, patch_size=16, patch_div=2, gram_channels=16, d_model=32,
+             transformer_layers=1, transformer_heads=2, norm="batch"),
+    )
+    assert pmg.supports_packed_input(spec)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    u8 = np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3), np.uint8)
+    want, _ = pmg.apply(params, normalize_uint8(jnp.asarray(u8)), spec)
+    got = pmg.apply_packed(params, jnp.asarray(s2d_pack_uint8(u8, spec.plan[0].kernel)), spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_stream_predictor_packed_matches_generic(model):
+    """StreamPredictor's packed fast path must give the same probabilities
+    as the generic step (model fixture is a tiny PMG)."""
+    from wadt.workloads.stream import StreamPredictor
+
+    family = "pmg"
+    spec, params = model
+    pred = StreamPredictor(family, spec, params)
+    frame = np.random.RandomState(1).randint(0, 256, (64, 64, 3), np.uint8)
+    probs = pred(frame)
+    if pred._pack_k is None:
+        pytest.skip("model has an overlapping first block")
+    # force the generic path for comparison
+    pred_generic = StreamPredictor(family, spec, params)
+    pred_generic._pack_k = None
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.engine.executor import class_mask, masked_softmax
+    from wadt.models import get_family
+    from wadt.ops import kalman
+    from wadt.ops.preprocess import normalize_uint8
+
+    mod = get_family(family)
+    mask = jnp.asarray(class_mask(spec.tasks))
+
+    @jax.jit
+    def gstep(p, f, k):
+        x = normalize_uint8(f[None])
+        lg, _ = mod.apply(p, x, spec)
+        pr = masked_softmax(lg.astype(jnp.float32), mask)[0]
+        k, sm = kalman.filter_update(k, pr)
+        return pr, k
+
+    want, _ = gstep(params, frame, pred_generic.kstate)
+    np.testing.assert_allclose(probs, np.asarray(want), atol=1e-5, rtol=1e-5)

@@ -88,6 +88,36 @@ def evaluate(
                     if 0 <= gt < tasks.num_classes[gi]
                     else "Unlabeled"
                 )
+                out_path = os.path.join(
+                    img_dir, gt_name, f"b{batch_idx:04d}_i{i:03d}.png"
+                )
+                if engine.family == "rtm":
+                    # RTM writes "True/Pred/Prob" lines through the
+                    # auto-layout multi-column bar (RTM_evaluation.py:280-403)
+                    from .inference import render_task_overlay
+
+                    lines = []
+                    for ti, t in enumerate(tasks.names):
+                        k = tasks.num_classes[ti]
+                        p = res["probs"][i, ti, :k]
+                        pi = int(res["preds"][i, ti])
+                        li = int(labels[i, ti])
+                        tl = tasks.class_names[ti][li] if 0 <= li < k else "Unknown"
+                        pl = tasks.class_names[ti][pi] if 0 <= pi < k else "Unknown"
+                        lines.append(
+                            f"{t} - True: {tl}, Pred: {pl}, Prob: {p.max():.2f} "
+                        )
+                    import cv2
+
+                    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+                    cv2.imwrite(
+                        out_path,
+                        cv2.cvtColor(
+                            render_task_overlay(images[i], lines),
+                            cv2.COLOR_RGB2BGR,
+                        ),
+                    )
+                    continue
                 lines = []
                 for ti, t in enumerate(tasks.names):
                     k = tasks.num_classes[ti]
@@ -97,7 +127,7 @@ def evaluate(
                 annotate_and_save(
                     Image.fromarray(images[i]),
                     lines,
-                    os.path.join(img_dir, gt_name, f"b{batch_idx:04d}_i{i:03d}.png"),
+                    out_path,
                 )
         # Reference loss accounting: batch_loss = sum over labeled tasks of
         # their mean CE; total_loss += batch_loss * batch_size

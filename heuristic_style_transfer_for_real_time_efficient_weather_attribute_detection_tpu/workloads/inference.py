@@ -65,6 +65,93 @@ def annotate_and_save(img: Image.Image, lines: Sequence[str], out_path: str) -> 
     img.save(out_path)
 
 
+def render_task_overlay(
+    img_rgb: "np.ndarray",
+    lines: Sequence[str],
+    *,
+    base_scale: float = 0.48,
+    min_scale: float = 0.34,
+    max_cols: int = 6,
+    bar_height_frac: float = 0.20,
+    width_frac: float = 0.90,
+    alpha: float = 0.45,
+    text_color=(0, 150, 0),
+) -> "np.ndarray":
+    """RTM-style auto-layout multi-column text bar (RTM_evaluation.py:280-403).
+
+    Finds the largest (columns, font scale) whose column-major layout fits a
+    translucent bar capped at ``bar_height_frac`` of the image height and
+    ``width_frac`` of its width — many-task overlays wrap into up to
+    ``max_cols`` columns and shrink the font down to ``min_scale`` before
+    giving up and clipping.  Returns a new annotated RGB array.
+    """
+    import cv2
+    import math
+
+    if not lines:
+        return img_rgb.copy()
+    font, thick = cv2.FONT_HERSHEY_SIMPLEX, 1
+    pad_x, pad_y, margin, gap_x = 8, 6, 8, 8
+    H, W = img_rgb.shape[:2]
+    budget_w = int(width_frac * W)
+    budget_h = int(bar_height_frac * H)
+
+    def measure(scale):
+        sizes = [cv2.getTextSize(t, font, scale, thick)[0] for t in lines]
+        line_h = max(h for _, h in sizes)
+        return sizes, line_h, max(int(line_h * 1.15), line_h)
+
+    def fits(cols, scale):
+        sizes, line_h, y_step = measure(scale)
+        rows = math.ceil(len(lines) / cols)
+        widest = max(w for w, _ in sizes) + 2 * pad_x
+        total_w = cols * widest + (cols - 1) * gap_x
+        total_h = line_h + (rows - 1) * y_step + 2 * pad_y
+        return total_w <= budget_w and total_h <= budget_h
+
+    widest0 = max(cv2.getTextSize(t, font, base_scale, thick)[0][0] for t in lines)
+    col_cap = min(max_cols, max(1, (budget_w + gap_x) // (widest0 + 2 * pad_x + gap_x)))
+    chosen = None
+    for cols in range(col_cap, 0, -1):
+        scale = base_scale
+        while scale >= min_scale:
+            if fits(cols, scale):
+                chosen = (cols, scale)
+                break
+            scale = round(scale - 0.03, 4)
+        if chosen:
+            break
+    cols, scale = chosen or (1, min_scale)
+
+    sizes, line_h, y_step = measure(scale)
+    rows = math.ceil(len(lines) / cols)
+    # column-major fill; each column as wide as its own longest line
+    columns = [list(range(c * rows, min((c + 1) * rows, len(lines))))
+               for c in range(cols)]
+    col_w = [
+        (max(sizes[k][0] for k in idxs) + 2 * pad_x) if idxs else 0
+        for idxs in columns
+    ]
+    _, baseline = cv2.getTextSize("Ag", font, scale, thick)
+    bar_w = min(sum(col_w) + (cols - 1) * gap_x, W - 2 * margin)
+    bar_h = line_h + (rows - 1) * y_step + 2 * pad_y + baseline
+
+    out = img_rgb.copy()
+    bar = out.copy()
+    cv2.rectangle(bar, (margin, margin),
+                  (min(W - margin, margin + bar_w), min(H - margin, margin + bar_h)),
+                  (255, 255, 255), thickness=-1)
+    cv2.addWeighted(bar, alpha, out, 1 - alpha, 0, out)
+
+    x = margin
+    for idxs, cw in zip(columns, col_w):
+        for r, k in enumerate(idxs):
+            cv2.putText(out, lines[k], (x + pad_x, margin + pad_y + line_h + r * y_step),
+                        font, scale, text_color, thick, cv2.LINE_AA)
+        x += cw + gap_x
+    return out
+
+
 def _predict_batched(engine: Engine, paths: List[str], num_workers: int = 4):
     """Batched device inference over arbitrary paths.
 

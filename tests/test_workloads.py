@@ -315,3 +315,43 @@ def test_pm_family_artifact_names(synth, tmp_path):
     # the unified names still exist too
     assert os.path.exists(os.path.join(save, "metrics_test.json"))
     assert os.path.exists(os.path.join(save, "times_classifier.json"))
+
+
+def test_render_task_overlay_layout():
+    """Auto-layout bar: fits within the height budget, wraps to columns for
+    many lines, shrinks font instead of overflowing (RTM_evaluation.py:280-403
+    behavior)."""
+    from wadt.workloads.inference import render_task_overlay
+
+    img = np.zeros((240, 640, 3), np.uint8)
+    lines = [f"Task {i} - True: foo, Pred: bar, Prob: 0.{i}0 " for i in range(12)]
+    out = render_task_overlay(img, lines)
+    assert out.shape == img.shape and out is not img
+    # bar confined to the top 20%+margins: bottom 70% untouched
+    assert np.array_equal(out[170:], img[170:])
+    # something was drawn up top
+    assert out[:60].sum() > 0
+    # empty lines -> unmodified copy
+    same = render_task_overlay(img, [])
+    assert np.array_equal(same, img)
+
+
+def test_rtm_eval_writes_autolayout_images(synth, tmp_path):
+    import jax
+
+    from wadt.models import rtm
+    from wadt.workloads.evaluate import evaluate
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    spec = rtm.build_spec(tasks, dict(truncate_layer=5, use_attention=False))
+    eng = Engine("rtm", spec, rtm.init(jax.random.PRNGKey(0), spec), batch_size=4)
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    save = str(tmp_path / "rtm_eval")
+    evaluate(eng, BatchLoader(ds, batch_size=4, num_workers=2), save,
+             save_test_images=True)
+    pngs = [f for _, _, fs in os.walk(os.path.join(save, "test_images"))
+            for f in fs if f.endswith(".png")]
+    assert len(pngs) == 12

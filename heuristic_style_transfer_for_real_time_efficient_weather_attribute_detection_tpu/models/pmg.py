@@ -235,8 +235,10 @@ def apply_packed(
 
     z8: [B, H/k, W/k, k*k*3] from ``ops.preprocess.s2d_pack_uint8``.  The
     first non-overlapping conv becomes one GEMM over the packed channel axis
-    (bit-exact with ``apply`` after ``normalize_uint8``; asserted in
-    tests/test_explain_stream.py).  At batch=1 this avoids XLA's
+    — the same math as ``apply`` after ``normalize_uint8`` (<=1e-7 prob
+    drift at f32 matmul precision; <=5e-4 conv-vs-GEMM reassociation noise
+    at the fast default; asserted in tests/test_explain_stream.py and
+    tools/tpu_checklist.py).  At batch=1 this avoids XLA's
     batch-minor conv layout copies: 20 vs 57 us/frame on one v5e.
     """
     from ..ops.preprocess import normalize_uint8_packed

@@ -39,7 +39,7 @@ class StreamPredictor:
     For PMG specs whose first trunk block is non-overlapping, the frame is
     space-to-depth packed on the host (~90 us of numpy) and the device step
     runs ``pmg.apply_packed`` — 20 vs 57 us/frame device compute on a v5e,
-    bit-exact (XLA's batch=1 conv lowering burns the difference in layout
+    numerically identical math (XLA's batch=1 conv lowering burns the difference in layout
     copies).  Other families use the generic uint8 step.
     """
 

@@ -70,8 +70,14 @@ def build(family):
     return mod, spec, params
 
 
-def measure(family: str, dtype_name: str, batch: int) -> float:
-    """Sustained img/s via the chained device-loop protocol."""
+def measure(family: str, dtype_name: str, batch: int, layout: str = "auto") -> float:
+    """Sustained img/s via the chained device-loop protocol.
+
+    ``layout="auto"`` measures the production wire format — for PMG that is
+    the space-to-depth packed uint8 batch (the BatchLoader/Engine default,
+    models/pmg.apply_packed; same bytes, same math, 1.6x faster at batch
+    512); ``layout="raw"`` forces the raw-NHWC conv path.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +86,7 @@ def measure(family: str, dtype_name: str, batch: int) -> float:
     )
     from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.ops.preprocess import (
         normalize_uint8,
+        s2d_pack_uint8,
     )
 
     mod, spec, params = build(family)
@@ -87,16 +94,36 @@ def measure(family: str, dtype_name: str, batch: int) -> float:
     if dtype != jnp.float32:
         params = cast_tree(params, dtype)
     rng = np.random.RandomState(0)
-    imgs = jax.device_put(rng.randint(0, 256, (batch, 224, 224, 3), np.uint8))
+    raw = rng.randint(0, 256, (batch, 224, 224, 3), np.uint8)
     inner = INNER[family]
 
-    def chain_fn(p, u8):
-        def one(i, salt):
-            x = normalize_uint8(u8, dtype) + salt
-            logits, _ = mod.apply(p, x, spec)
-            return (logits[0, 0, 0] * 0.0).astype(dtype)
+    packed = (
+        layout == "auto"
+        and family == "pmg"
+        and mod.supports_packed_input(spec)
+    )
+    if packed:
+        imgs = jax.device_put(s2d_pack_uint8(raw, spec.plan[0].kernel))
 
-        return jax.lax.fori_loop(0, inner, one, jnp.zeros((), dtype))
+        def chain_fn(p, z8):
+            def one(i, salt):
+                logits, _ = mod.apply_packed(
+                    p, jnp.bitwise_xor(z8, salt), spec, dtype=dtype
+                )
+                return (logits[0, 0, 0] * 0.0).astype(jnp.uint8)
+
+            return jax.lax.fori_loop(0, inner, one, jnp.zeros((), jnp.uint8))
+
+    else:
+        imgs = jax.device_put(raw)
+
+        def chain_fn(p, u8):
+            def one(i, salt):
+                x = normalize_uint8(u8, dtype) + salt
+                logits, _ = mod.apply(p, x, spec)
+                return (logits[0, 0, 0] * 0.0).astype(dtype)
+
+            return jax.lax.fori_loop(0, inner, one, jnp.zeros((), dtype))
 
     chain = jax.jit(chain_fn)
     float(chain(params, imgs))  # compile + first run
@@ -126,6 +153,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--all", action="store_true",
                     help="run 3 families x 2 dtypes -> results/bench_matrix.json")
+    ap.add_argument("--layout", choices=("auto", "raw"), default="auto",
+                    help="auto = production wire format (packed for PMG); "
+                         "raw = force the raw-NHWC conv path")
     args = ap.parse_args()
 
     if args.all:
@@ -133,7 +163,7 @@ def main():
         for family in ("pmg", "pm", "rtm"):
             for dtype_name in ("f32", "bf16"):
                 batch = args.batch or FAMILY_BATCH[family]
-                ips = measure(family, dtype_name, batch)
+                ips = measure(family, dtype_name, batch, args.layout)
                 matrix[f"{family}_{dtype_name}"] = {
                     "images_per_sec": round(ips, 1), "batch": batch,
                 }
@@ -147,7 +177,7 @@ def main():
         return
 
     batch = args.batch or FAMILY_BATCH[args.family]
-    ips = measure(args.family, args.dtype, batch)
+    ips = measure(args.family, args.dtype, batch, args.layout)
     print(json.dumps(result_line(args.family, args.dtype, ips)))
 
 

@@ -239,7 +239,8 @@ def make_loader(args, engine):
         find_images_by_sub_folder=args.find_images_by_sub_folder,
     )
     ds.subsample(args.num_samples)
-    return ds, BatchLoader(ds, batch_size=args.batch_size, num_workers=args.num_workers)
+    return ds, BatchLoader(ds, batch_size=args.batch_size, num_workers=args.num_workers,
+                           pack_k=engine.pack_k)
 
 
 def main(argv=None) -> int:

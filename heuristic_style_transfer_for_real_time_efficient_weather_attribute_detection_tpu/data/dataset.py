@@ -144,6 +144,7 @@ class BatchLoader:
         prefetch: int = 2,
         img_size: int = DEFAULT_IMG_SIZE,
         skip_errors: bool = False,
+        pack_k: Optional[int] = None,
     ):
         if isinstance(dataset, (list, tuple)):  # bare path list, no labels
             self.paths = list(dataset)
@@ -160,6 +161,10 @@ class BatchLoader:
         # raising — the reference's folder/watch resilience
         # (Functions/RTM_evaluation.py:793-797).
         self.skip_errors = skip_errors
+        # pack_k: emit space-to-depth-packed batches (Engine.pack_k wire
+        # format); done in the producer thread so it overlaps the consumer's
+        # device step.
+        self.pack_k = pack_k
 
     def _loadfn_safe(self, i: int):
         try:
@@ -194,6 +199,10 @@ class BatchLoader:
                             idxs = [i for i, _ in kept]
                             items = [it for _, it in kept]
                         imgs = np.stack([it[0] for it in items])
+                        if self.pack_k:
+                            from ..ops.preprocess import s2d_pack_uint8
+
+                            imgs = s2d_pack_uint8(imgs, self.pack_k)
                         labels = (
                             np.stack([it[1] for it in items])
                             if items[0][1] is not None

@@ -229,8 +229,10 @@ def supports_packed_input(spec: Spec) -> bool:
 
 
 def apply_packed(
-    params: Dict[str, Any], z8: jnp.ndarray, spec: Spec
-) -> jnp.ndarray:
+    params: Dict[str, Any], z8: jnp.ndarray, spec: Spec,
+    capture: Sequence[str] = (),
+    dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Latency-optimized forward from s2d-packed uint8 (the streaming path).
 
     z8: [B, H/k, W/k, k*k*3] from ``ops.preprocess.s2d_pack_uint8``.  The
@@ -245,17 +247,23 @@ def apply_packed(
 
     b0 = spec.plan[0]
     assert supports_packed_input(spec), "first trunk block is overlapping"
-    x = normalize_uint8_packed(z8, b0.kernel)
+    x = normalize_uint8_packed(z8, b0.kernel, dtype)
     p0 = params["trunk"][0]
     w0 = p0["conv"]["w"].reshape(-1, b0.cout)
     y = jnp.einsum("bhwc,cd->bhwd", x, w0, preferred_element_type=jnp.float32)
     if p0["conv"].get("b") is not None:
         y = y + p0["conv"]["b"]
+    y = y.astype(x.dtype)  # keep the activation chain in the run dtype
     y = leaky_relu(apply_norm(y, p0["norm"], spec.norm), 0.2)
     for pp, bk in zip(params["trunk"][1:], spec.plan[1:]):
         y = conv2d(y, pp["conv"], stride=bk.stride, padding=bk.pad)
         y = leaky_relu(apply_norm(y, pp["norm"], spec.norm), 0.2)
-    return head_apply(params, y, spec)[0]
+    aux: Dict[str, jnp.ndarray] = {}
+    if "features" in capture:
+        aux["features"] = y
+    logits, head_aux = head_apply(params, y, spec, capture)
+    aux.update(head_aux)
+    return logits, aux
 
 
 def trunk_features(params: Dict[str, Any], x: jnp.ndarray, spec: Spec) -> jnp.ndarray:

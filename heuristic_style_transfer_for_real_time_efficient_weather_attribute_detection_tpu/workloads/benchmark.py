@@ -295,7 +295,7 @@ def run_benchmark(
 
     # Batched device forwards (vs the reference's batch=1 loop).
     loader = BatchLoader([p for p, _ in images], batch_size=engine.batch_size,
-                         num_workers=num_workers)
+                         num_workers=num_workers, pack_k=engine.pack_k)
     probs_chunks = []
     for imgs, _labels, _paths in loader:
         probs_chunks.append(engine.run(imgs, collect=("probs",))["probs"])

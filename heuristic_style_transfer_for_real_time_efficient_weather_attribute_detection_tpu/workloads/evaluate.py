@@ -81,6 +81,12 @@ def evaluate(
             print(f"profiler trace written under {os.path.join(save_dir, 'profile')}")
         b = images.shape[0]
         if save_test_images:
+            if images.shape[-1] != 3:  # packed wire format -> pixels back
+                from ..ops.preprocess import s2d_unpack_uint8
+
+                images_px = s2d_unpack_uint8(images, engine.pack_k)
+            else:
+                images_px = images
             for i in range(b):
                 gt = labels[i, gi]
                 gt_name = (
@@ -113,7 +119,7 @@ def evaluate(
                     cv2.imwrite(
                         out_path,
                         cv2.cvtColor(
-                            render_task_overlay(images[i], lines),
+                            render_task_overlay(images_px[i], lines),
                             cv2.COLOR_RGB2BGR,
                         ),
                     )
@@ -125,7 +131,7 @@ def evaluate(
                     idx = int(p.argmax())
                     lines.append(f"{t}: {tasks.class_names[ti][idx]} ({p[idx]:.2f})")
                 annotate_and_save(
-                    Image.fromarray(images[i]),
+                    Image.fromarray(images_px[i]),
                     lines,
                     out_path,
                 )

@@ -158,8 +158,8 @@ def _predict_batched(engine: Engine, paths: List[str], num_workers: int = 4):
     Returns (probs [N', T, Kmax], kept_paths) — unreadable images are skipped
     with a warning (reference resilience, Functions/RTM_evaluation.py:793-797).
     """
-    loader = BatchLoader(paths, batch_size=engine.batch_size,
-                         num_workers=num_workers, skip_errors=True)
+    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers,
+                         skip_errors=True, pack_k=engine.pack_k)
     chunks, kept = [], []
     for imgs, _, batch_paths in loader:
         chunks.append(engine.run(imgs, collect=("probs",))["probs"])
@@ -251,7 +251,8 @@ def _gradcam_fusions(engine, paths, probs, save_dir, gradcam_task, colormap,
     k = tasks.num_classes[ti]
     names = tasks.class_names[ti]
     explainer = Explainer(engine.family, engine.spec, engine.params)
-    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers)
+    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers,
+                         pack_k=engine.pack_k)
     pos = 0
     for imgs, _, batch_paths in loader:
         n = imgs.shape[0]

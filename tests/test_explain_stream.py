@@ -232,9 +232,30 @@ def test_packed_forward_bitexact():
     assert pmg.supports_packed_input(spec)
     params = pmg.init(jax.random.PRNGKey(0), spec)
     u8 = np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3), np.uint8)
-    want, _ = pmg.apply(params, normalize_uint8(jnp.asarray(u8)), spec)
-    got = pmg.apply_packed(params, jnp.asarray(s2d_pack_uint8(u8, spec.plan[0].kernel)), spec)
+    want, waux = pmg.apply(
+        params, normalize_uint8(jnp.asarray(u8)), spec, capture=("features",)
+    )
+    got, gaux = pmg.apply_packed(
+        params, jnp.asarray(s2d_pack_uint8(u8, spec.plan[0].kernel)), spec,
+        capture=("features",),
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gaux["features"]), np.asarray(waux["features"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    # Engine auto-packs raw input and accepts pre-packed batches equally
+    from wadt.engine.executor import Engine
+
+    eng = Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0)
+    assert eng.pack_k == spec.plan[0].kernel
+    raw = eng.run(u8, collect=("probs",))["probs"]
+    packed = eng.run(s2d_pack_uint8(u8, eng.pack_k), collect=("probs",))["probs"]
+    np.testing.assert_allclose(raw, packed, atol=1e-6)
+    eng_off = Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0,
+                     packed="off")
+    off = eng_off.run(u8, collect=("probs",))["probs"]
+    np.testing.assert_allclose(raw, off, atol=1e-5)
 
 
 def test_stream_predictor_packed_matches_generic(model):

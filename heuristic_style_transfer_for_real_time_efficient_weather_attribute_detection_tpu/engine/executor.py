@@ -97,9 +97,8 @@ class Engine:
 
         # Packed wire format (PMG): space-to-depth uint8 so the
         # non-overlapping first conv runs as a GEMM — 1.2-3.3x faster device
-        # forward at every batch size measured (models/pmg.apply_packed).
-        # Auto-enabled when the spec supports it and no intermediate capture
-        # taps are requested; ``packed="off"`` forces the raw conv path.
+        # forward at every batch size measured.  apply_packed supports the
+        # same capture taps as apply; ``packed="off"`` forces the raw path.
         self.pack_k = None
         if packed != "off" and family == "pmg":
             from ..models import pmg

@@ -130,6 +130,9 @@ def s2d_pack_uint8(u8: np.ndarray, k: int) -> np.ndarray:
         out = np.empty((b, hp, wp, k * k * c), np.uint8)
         fn(u8.ctypes.data, out.ctypes.data, b, h, w, c, k)
         return out
+    # crop any remainder rows/cols, matching both the C kernel and the
+    # pad-0 stride-k conv this layout replaces
+    u8 = u8[:, : hp * k, : wp * k]
     return np.ascontiguousarray(
         u8.reshape(b, hp, k, wp, k, c)
         .transpose(0, 1, 3, 2, 4, 5)

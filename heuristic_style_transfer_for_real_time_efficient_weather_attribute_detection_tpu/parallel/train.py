@@ -208,8 +208,12 @@ def make_train_step(
     mask = jnp.asarray(class_mask(spec.tasks))
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     gamma = focal_gamma if use_focal else None
+    # PMG's transformer is the only dropout site; PM/RTM apply_train would
+    # otherwise be forced into batch-stat BN against an explicit bn_train=False
+    has_dropout_sites = family == "pmg" and getattr(spec, "has_transformer", False)
     train_mode = hasattr(mod, "apply_train") and (
-        (bn_train and _family_trains_bn(family, spec)) or dropout_rate > 0
+        (bn_train and _family_trains_bn(family, spec))
+        or (dropout_rate > 0 and has_dropout_sites)
     )
     drop_key = jax.random.PRNGKey(dropout_seed)
 

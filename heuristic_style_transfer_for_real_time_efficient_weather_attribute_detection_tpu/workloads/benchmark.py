@@ -348,9 +348,10 @@ def run_benchmark(
     # (reference :132-142 accumulates per sample).
     os.makedirs(roc_dir, exist_ok=True)
     proj = {t: _one_hot(assignment[t], len(bench_classes[t])) for t in initial_mapping}
+    bench_space = {t: model_probs[t] @ proj[t] for t in initial_mapping}
     summary = {}
     for task in initial_mapping:
-        p_bench = model_probs[task] @ proj[task]
+        p_bench = bench_space[task]
         if p_bench.shape[0] == 0:
             print(f"[Warning] no probabilities for task '{task}', metrics skipped.")
             continue
@@ -369,7 +370,6 @@ def run_benchmark(
 
         pred_dir = os.path.join(save_dir, "pred_images")
         os.makedirs(pred_dir, exist_ok=True)
-        bench_space = {t: model_probs[t] @ proj[t] for t in initial_mapping}
         for i, (path, bench_cls) in enumerate(images):
             img = cv2.imread(path)
             if img is None:

@@ -251,8 +251,9 @@ def _gradcam_fusions(engine, paths, probs, save_dir, gradcam_task, colormap,
     k = tasks.num_classes[ti]
     names = tasks.class_names[ti]
     explainer = Explainer(engine.family, engine.spec, engine.params)
-    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers,
-                         pack_k=engine.pack_k)
+    # raw layout here: the Explainer's grad path and overlay_cam consume
+    # pixels, not the packed wire format
+    loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers)
     pos = 0
     for imgs, _, batch_paths in loader:
         n = imgs.shape[0]

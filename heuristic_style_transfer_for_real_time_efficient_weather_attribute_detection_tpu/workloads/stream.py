@@ -61,7 +61,7 @@ class StreamPredictor:
 
             @jax.jit
             def step(params, packed_u8, kstate):
-                logits, _ = pmg.apply_packed(params, packed_u8, spec)
+                logits, _ = pmg.apply_packed(params, packed_u8, spec, dtype=dtype)
                 probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
                 kstate, smoothed = kalman.filter_update(kstate, probs)
                 return smoothed if use_kalman else probs, kstate

@@ -204,13 +204,14 @@ def evaluate(
     if measure_time:
         with open(os.path.join(save_dir, "times_classifier.json"), "w") as f:
             json.dump(times, f, indent=2)
-    if engine.family == "pm":
-        # The PM reference eval writes its own artifact names and schema
-        # alongside: test_metrics.json = {task: {...,"confusion_matrix"},
-        # "average": {"accuracy"}} and times_test.json
-        # (Functions/PM_evaluation.py:595-641).  Downstream PM consumers
-        # read these names, so emit them in addition to the unified set.
-        pm_metrics: Dict[str, Dict] = {
+    if engine.family in ("pm", "rtm"):
+        # The PM/RTM reference evals write their own artifact names and
+        # schema alongside the unified set: test_metrics.json =
+        # {task: {..., "confusion_matrix"}, "average": ...} and
+        # times_test.json (Functions/PM_evaluation.py:595-641,
+        # RTM_evaluation.py:449-537).  The average block differs: PM records
+        # accuracy only; RTM records all four means.
+        fam_metrics: Dict[str, Dict] = {
             t: {
                 k: m[k]
                 for k in (
@@ -220,10 +221,19 @@ def evaluate(
             }
             for t, m in metrics.items()
         }
-        accs = [m["accuracy"] for m in pm_metrics.values() if m["accuracy"] is not None]
-        pm_metrics["average"] = {"accuracy": float(np.mean(accs)) if accs else 0.0}
+
+        def _mean(key):
+            vals = [m[key] for m in fam_metrics.values() if m[key] is not None]
+            return float(np.mean(vals)) if vals else 0.0
+
+        if engine.family == "pm":
+            fam_metrics["average"] = {"accuracy": _mean("accuracy")}
+        else:
+            fam_metrics["average"] = {
+                k: _mean(k) for k in ("accuracy", "precision", "recall", "f1_score")
+            }
         with open(os.path.join(save_dir, "test_metrics.json"), "w") as f:
-            json.dump(pm_metrics, f, indent=4)
+            json.dump(fam_metrics, f, indent=4)
         if measure_time:
             with open(os.path.join(save_dir, "times_test.json"), "w") as f:
                 json.dump(times, f, indent=4)

@@ -288,21 +288,24 @@ def test_batchloader_raises_cleanly_on_decode_error(tmp_path):
 
 
 def test_pm_family_artifact_names(synth, tmp_path):
-    """PM evals additionally emit the PM reference's own artifact names and
-    schema: test_metrics.json ({task: {..., confusion_matrix}, average}) and
-    times_test.json (Functions/PM_evaluation.py:595-641)."""
+    """PM/RTM evals additionally emit their reference's own artifact names
+    and schema: test_metrics.json ({task: {..., confusion_matrix}, average})
+    and times_test.json — PM averages accuracy only
+    (PM_evaluation.py:595-641); RTM averages all four metrics
+    (RTM_evaluation.py:449-537)."""
     import jax
 
-    from wadt.models import pm
+    from wadt.models import pm, rtm
     from wadt.workloads.evaluate import evaluate
 
     with open(os.path.join(synth, "tasks.json")) as f:
         tasks = json.load(f)
-    spec = pm.build_spec(tasks, dict(ndf=8, patch_size=16))
-    eng = Engine("pm", spec, pm.init(jax.random.PRNGKey(1), spec), batch_size=4)
     ds = MultiTaskDataset(
         os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
     )
+
+    spec = pm.build_spec(tasks, dict(ndf=8, patch_size=16))
+    eng = Engine("pm", spec, pm.init(jax.random.PRNGKey(1), spec), batch_size=4)
     save = str(tmp_path / "pm_eval")
     evaluate(eng, BatchLoader(ds, batch_size=4, num_workers=2), save,
              measure_time=True)
@@ -315,6 +318,15 @@ def test_pm_family_artifact_names(synth, tmp_path):
     # the unified names still exist too
     assert os.path.exists(os.path.join(save, "metrics_test.json"))
     assert os.path.exists(os.path.join(save, "times_classifier.json"))
+
+    rspec = rtm.build_spec(tasks, dict(truncate_layer=5, use_attention=False))
+    reng = Engine("rtm", rspec, rtm.init(jax.random.PRNGKey(2), rspec), batch_size=4)
+    rsave = str(tmp_path / "rtm_eval_names")
+    evaluate(reng, BatchLoader(ds, batch_size=4, num_workers=2), rsave,
+             measure_time=True)
+    rm = json.load(open(os.path.join(rsave, "test_metrics.json")))
+    assert set(rm["average"]) == {"accuracy", "precision", "recall", "f1_score"}
+    assert os.path.exists(os.path.join(rsave, "times_test.json"))
 
 
 def test_render_task_overlay_layout():

@@ -294,6 +294,19 @@ def run_ours_family(family, hparams, synth, weights_pth, out_dir):
     return os.path.join(out_dir, "metrics_test.json")
 
 
+def compare_artifact_names(ref_dir, our_dir):
+    """Filename parity: every artifact the reference pipeline wrote must
+    exist (same relative path) in our output tree (we may write extras).
+    Returns the list of reference-only files."""
+    def tree(d):
+        return {
+            os.path.relpath(os.path.join(r, f), d)
+            for r, _, fs in os.walk(d) for f in fs
+        }
+
+    return sorted(tree(ref_dir) - tree(our_dir))
+
+
 def compare_scalars(ref_json, our_json, atol=1e-6):
     """PM/RTM pipelines: compare per-task acc/P/R/F1 (their test_metrics.json
     schema vs our metrics_test.json)."""
@@ -349,6 +362,11 @@ def main():
         our_json = run_ours(synth, weights, os.path.join(base, "pmg_ours"))
         fails = compare(ref_json, our_json)
         all_fails += [("pmg/" + n, a, b) for n, a, b in fails]
+        missing = compare_artifact_names(
+            os.path.join(base, "pmg_ref"), os.path.join(base, "pmg_ours")
+        )
+        all_fails += [(f"pmg/artifact:{f}", "present", "MISSING") for f in missing]
+        print(f"[pmg] artifact filename diff: {len(missing)} reference-only files")
         print(f"[pmg] full metrics_test.json diff: {len(fails)} failures")
 
     if "pm" in families:
@@ -363,6 +381,11 @@ def main():
                                    os.path.join(base, "pm_ours"))
         fails = compare_scalars(ref_json, our_json)
         all_fails += [("pm/" + n, a, b) for n, a, b in fails]
+        missing = compare_artifact_names(
+            os.path.join(base, "pm_ref"), os.path.join(base, "pm_ours")
+        )
+        all_fails += [(f"pm/artifact:{f}", "present", "MISSING") for f in missing]
+        print(f"[pm] artifact filename diff: {len(missing)} reference-only files")
         print(f"[pm] per-task acc/P/R/F1 diff: {len(fails)} failures")
 
     if "rtm" in families:
@@ -387,6 +410,11 @@ def main():
                                    os.path.join(base, "rtm_ours"))
         fails = compare_scalars(ref_json, our_json)
         all_fails += [("rtm/" + n, a, b) for n, a, b in fails]
+        missing = compare_artifact_names(
+            os.path.join(base, "rtm_ref"), os.path.join(base, "rtm_ours")
+        )
+        all_fails += [(f"rtm/artifact:{f}", "present", "MISSING") for f in missing]
+        print(f"[rtm] artifact filename diff: {len(missing)} reference-only files")
         print(f"[rtm] per-task acc/P/R/F1 diff: {len(fails)} failures")
 
     if all_fails:

@@ -203,6 +203,24 @@ def head_apply(
     return logits, aux
 
 
+def head_from_gram_tokens(
+    params: Dict[str, Any], gram_tokens: jnp.ndarray, spec: Spec
+) -> jnp.ndarray:
+    """Raw per-patch Gram tokens [B, Np, gc*gc] -> stacked logits.
+
+    Re-entry point for the fused trunk+gram streaming kernel
+    (ops/pallas_kernels.fused_trunk_gram), which produces exactly the
+    ``patch_gram_tokens`` output.
+    """
+    tokens = linear(gram_tokens, params["token_proj"])
+    if spec.has_transformer:
+        tokens = transformer_encoder(
+            tokens, params["transformer"], spec.transformer_heads
+        )
+    pooled = task_query_pool(tokens, params["queries"])
+    return stacked_task_heads(pooled, params["heads"])
+
+
 def apply_train(
     params: Dict[str, Any],
     x: jnp.ndarray,

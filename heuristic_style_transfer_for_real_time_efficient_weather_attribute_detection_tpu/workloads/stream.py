@@ -44,19 +44,48 @@ class StreamPredictor:
     """
 
     def __init__(self, family: str, spec, params, use_kalman: bool = False,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, trunk_kernel: str = "auto"):
         self.tasks: TaskSpec = spec.tasks
         self.use_kalman = use_kalman
         mod = get_family(family)
         mask = jnp.asarray(class_mask(self.tasks))
         self._pack_k = None
+        self._fused = False
         if family == "pmg":
             from ..models import pmg
+            from ..ops.kernel_select import winner
+            from ..ops.pallas_kernels import supports_fused_trunk_gram
 
             if pmg.supports_packed_input(spec):
                 self._pack_k = spec.plan[0].kernel
+            # Fused pallas trunk+gram: one program replaces ~40 XLA launches
+            # (measured 18.8 vs 20.6 us/frame); selection by recorded
+            # measurement like every kernel (tools/bench_latency.py --record).
+            if (
+                trunk_kernel != "packed"
+                and supports_fused_trunk_gram(spec)
+                and spec.norm == "batch"
+                and (trunk_kernel == "fused"
+                     or winner("fused_trunk_gram") == "pallas")
+            ):
+                self._fused = True
+                self._pack_k = spec.plan[0].kernel * spec.plan[1].kernel
 
-        if self._pack_k is not None:
+        if self._fused:
+            from ..models import pmg
+            from ..ops.pallas_kernels import fold_trunk_gram_weights, fused_trunk_gram
+
+            folded = fold_trunk_gram_weights(params, spec)
+
+            @jax.jit
+            def step(params, packed_u8, kstate):
+                tokens = fused_trunk_gram(packed_u8, folded, spec)
+                logits = pmg.head_from_gram_tokens(params, tokens, spec)
+                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
+                kstate, smoothed = kalman.filter_update(kstate, probs)
+                return smoothed if use_kalman else probs, kstate
+
+        elif self._pack_k is not None:
             from ..models import pmg
 
             @jax.jit

@@ -91,3 +91,64 @@ def test_kernel_select_registry(tmp_path, monkeypatch):
               backend=ks.backend_kind())
     assert ks.winner("patch_gram_tokens") == "pallas"
     ks._table.cache_clear()
+
+
+def test_fused_trunk_gram_matches_model():
+    """The fused trunk+gram kernel (interpret mode) must reproduce the
+    model's patch-Gram tokens from K-packed uint8 input, to folded-bf16
+    weight precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.models import pmg
+    from wadt.ops.nn import conv2d
+    from wadt.ops.gram import patch_gram_tokens
+    from wadt.ops.pallas_kernels import (
+        fold_trunk_gram_weights, fused_trunk_gram, supports_fused_trunk_gram,
+    )
+    from wadt.ops.preprocess import normalize_uint8, s2d_pack_uint8
+
+    spec = pmg.build_spec(
+        {"A": ["a0", "a1"], "B": ["b0", "b1", "b2"]},
+        dict(ndf=8, patch_size=64, patch_div=3, gram_channels=16, d_model=32,
+             transformer_layers=1, transformer_heads=2, norm="batch"),
+    )
+    assert supports_fused_trunk_gram(spec)  # 3-block plan (k4s4 x2 + 1x1)
+    params = pmg.init(jax.random.PRNGKey(3), spec)
+    K = spec.plan[0].kernel * spec.plan[1].kernel
+    u8 = np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3), np.uint8)
+
+    feats = pmg.trunk_features(params, normalize_uint8(jnp.asarray(u8)), spec)
+    z = conv2d(feats, params["chan_proj"])
+    want = np.asarray(patch_gram_tokens(z, spec.patch_div))
+
+    folded = fold_trunk_gram_weights(params, spec)
+    got = np.asarray(fused_trunk_gram(
+        jnp.asarray(s2d_pack_uint8(u8, K)), folded, spec, interpret=True
+    ))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_stream_trunk_kernel_selection(monkeypatch):
+    """StreamPredictor('auto') routes to the fused kernel only when the
+    measured record says pallas wins; 'packed' forces the GEMM-stem path."""
+    import jax
+
+    from wadt.models import pmg
+    from wadt.ops import kernel_select
+    from wadt.workloads import stream
+
+    spec = pmg.build_spec(
+        {"A": ["a0", "a1"]},
+        dict(ndf=8, patch_size=64, patch_div=2, gram_channels=16, d_model=32,
+             transformer_layers=0, transformer_heads=2, norm="batch"),
+    )
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    monkeypatch.setattr(kernel_select, "winner", lambda op, default="xla": "xla")
+    pred = stream.StreamPredictor("pmg", spec, params)
+    assert not pred._fused and pred._pack_k == spec.plan[0].kernel
+    monkeypatch.setattr(kernel_select, "winner", lambda op, default="xla": "pallas")
+    pred2 = stream.StreamPredictor("pmg", spec, params)
+    assert pred2._fused and pred2._pack_k == spec.plan[0].kernel * spec.plan[1].kernel
+    pred3 = stream.StreamPredictor("pmg", spec, params, trunk_kernel="packed")
+    assert not pred3._fused

@@ -2,14 +2,19 @@
 """Per-frame (batch=1) latency of the flagship PMG forward on the real chip —
 the BASELINE.md camera/stream latency report.
 
-Two numbers:
-- device_compute_p50: chained device-loop protocol (true serial device time
-  per frame, excludes host round-trip),
+Numbers:
+- generic / packed / fused streaming-step device time (on-device trace
+  timestamps — relay-proof; includes softmax + fused Kalman),
+- chained device-loop generic forward (the legacy protocol, cross-check),
 - end_to_end_p50: submit->result through the AsyncBatcher (includes relay
   round-trip — on this rig dominated by the network relay, on real hardware
   by PCIe + dispatch).
+
+--record stores the fused-vs-packed winner in results/kernel_ab.json
+("fused_trunk_gram"), which StreamPredictor(trunk_kernel="auto") consults.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -26,15 +31,51 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="store the fused-vs-packed streaming winner in "
+                         "results/kernel_ab.json")
+    args = ap.parse_args()
+
     import __graft_entry__ as graft
     from wadt.engine.executor import Engine
     from wadt.engine.serving import AsyncBatcher
     from wadt.models import pmg
-    from wadt.ops.preprocess import normalize_uint8
+    from wadt.ops import kernel_select
+    from wadt.ops.preprocess import normalize_uint8, s2d_pack_uint8
+    from wadt.workloads.stream import StreamPredictor
 
     _, spec, params = graft._flagship()
     rng = np.random.RandomState(0)
     frame = jax.device_put(rng.randint(0, 256, (1, 224, 224, 3), np.uint8))
+
+    # --- streaming-step variants, on-device trace time ---
+    try:
+        from wadt.utils.devtime import device_time_ms
+
+        raw = rng.randint(0, 256, (224, 224, 3), np.uint8)
+        results = {}
+        for name in ("packed", "fused"):
+            pred = StreamPredictor("pmg", spec, params, use_kalman=True,
+                                   trunk_kernel=name)
+            inp = jax.device_put(s2d_pack_uint8(raw[None], pred._pack_k))
+            t, _ = device_time_ms(
+                lambda p, z, k: pred._step(p, z, k),
+                pred.params, inp, pred.kstate, iters=20,
+            )
+            results[name] = t * 1e3
+            print(f"streaming step [{name:6s}]: {t*1e3:6.1f} us/frame "
+                  f"(device, incl. softmax+kalman)")
+        if args.record and {"packed", "fused"} <= set(results):
+            win = "pallas" if results["fused"] < results["packed"] else "xla"
+            kernel_select.record(
+                "fused_trunk_gram", win,
+                results["packed"], results["fused"], "batch1 224px shipped",
+            )
+            print(f"recorded fused_trunk_gram winner={win} -> "
+                  f"{kernel_select.RECORD_PATH}")
+    except ImportError:
+        print("profiler protos unavailable; skipping per-variant device times")
 
     def chain_fn(p, u8):
         def one(i, salt):
@@ -51,8 +92,10 @@ def main():
         t0 = time.perf_counter()
         float(chain(params, frame))
         best = min(best, (time.perf_counter() - t0) / INNER)
-    print(f"device compute per frame (batch=1): {best*1e6:.1f} us "
-          f"({1/best:,.0f} FPS equivalent)")
+    print(f"generic forward, chained-loop bound (batch=1): {best*1e6:.1f} us "
+          f"— NOTE: at these tiny shapes the loop carry adds ~3x overhead; "
+          f"the trace-derived step times above are the honest per-frame "
+          f"numbers")
 
     engine = Engine("pmg", spec, params, batch_size=8)
     engine.warmup()

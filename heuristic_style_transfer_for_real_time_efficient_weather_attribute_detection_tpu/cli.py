@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="benchmark mode: GT/Pred green-red annotated overlays")
     p.add_argument("--parity_precision", action="store_true",
                    help="full-f32 matmuls (bit-parity with the torch reference)")
+    p.add_argument("--compilation_cache", nargs="?", type=str, default=None,
+                   const=os.path.join("~", ".cache", "wadt", "xla_cache"),
+                   metavar="DIR",
+                   help="persist compiled XLA executables to DIR (default "
+                        "~/.cache/wadt/xla_cache) so repeat CLI runs skip the "
+                        "20-40s first compile")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch axis across all visible devices")
     # explainability
@@ -160,6 +166,14 @@ def build_engine(args) -> "Any":
         from .config import enable_parity_precision
 
         enable_parity_precision()
+
+    if args.compilation_cache:
+        cache_dir = os.path.expanduser(args.compilation_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache every jitted step (the default 1s floor would skip small ones).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        print(f"XLA compilation cache: {cache_dir}")
 
     tasks = load_tasks(args.build_classifier)
     print(f"Tasks: {len(tasks)} -> {list(tasks)}")
@@ -352,6 +366,8 @@ def main(argv=None) -> int:
         svc.start(block=True)
 
     elif args.mode == "camera":
+        import jax.numpy as jnp
+
         from .workloads.stream import run_camera
 
         run_camera(args.family, engine.spec, engine.params, args.save_dir,
@@ -363,7 +379,8 @@ def main(argv=None) -> int:
                    video_path=args.video_path,
                    display=not args.no_display,
                    max_frames=args.max_frames,
-                   record=args.record)  # headless implication lives in run_camera
+                   record=args.record,  # headless implication lives in run_camera
+                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     elif args.mode in ("tsne", "tsne_interactive"):
         from .workloads.embed import compute_embeddings, export_interactive_html, perform_tsne

@@ -145,6 +145,84 @@ def head_apply(
     return _classify(params, emb), aux
 
 
+def fold_stream_weights(
+    params: Dict[str, Any], spec: Spec, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Derived weights for the batch=1 streaming fast path.
+
+    At batch=1 the RTM forward is pure HBM weight traffic, and the profiler
+    shows it dominated by three reads of the stacked [T, C, d] / [T, d, C]
+    attention projections (~2/3 of the 1.08 ms/frame device time at the
+    reference defaults d = C = 2048, T = 12):
+
+      1. ``pq = proj_w @ q`` — input-INDEPENDENT, yet recomputed per frame
+         inside the jitted step (XLA cannot hoist across calls: params are
+         runtime inputs).  Precomputed here once, in f32 — bit-identical.
+      2./3. ``h = pooled @ proj_w`` then ``out = h @ out_w`` — two full
+         weight reads that associate into ONE: ``out = pooled @ (proj_w @
+         out_w)``.  ``attn_fold[t] = proj_w[t] @ out_w[t]`` is computed in
+         f32 and stored at ``dtype`` ([T, C, C] — same size as ONE of the
+         original matrices, so the per-frame attention weight traffic drops
+         3x (plus 2x more at bf16)).
+
+    The fold is a floating-point reassociation (exact in infinite precision);
+    tests/test_explain_stream.py bounds the drift and asserts argmax parity
+    vs the generic path.  Backbone/classifier weights are cast to ``dtype``.
+    Batch-eval (Engine) keeps the unfolded form: at batch 256 the projections
+    are MXU-bound GEMMs and the extra read is amortized to noise.
+    """
+    if not spec.use_attention:
+        raise ValueError("fold_stream_weights requires use_attention=True")
+    from ..ops.nn import cast_tree
+
+    attn = params["attn"]
+    pq = jnp.einsum(
+        "tcd,td->tc", attn["proj_w"], attn["q"],
+        preferred_element_type=jnp.float32,
+    )
+    fold = jnp.einsum(
+        "tcd,tde->tce", attn["proj_w"], attn["out_w"],
+        preferred_element_type=jnp.float32,
+    )
+    return {
+        "backbone": cast_tree(params["backbone"], dtype),
+        "attn_pq": pq,  # f32: scores stay exact
+        "attn_fold": fold.astype(dtype),
+        "mlp": cast_tree(params["mlp"], dtype),
+        "final": cast_tree(params["final"], dtype),
+    }
+
+
+def apply_stream(
+    folded: Dict[str, Any], x: jnp.ndarray, spec: Spec
+) -> jnp.ndarray:
+    """Streaming forward on :func:`fold_stream_weights` output -> logits.
+
+    Same math as :func:`apply` with the attention head's three stacked
+    weight contractions collapsed to one (see fold_stream_weights).
+    """
+    import math
+
+    feats = resnet.apply_truncated(
+        folded["backbone"], x, spec.truncate_after_layer
+    )
+    b, h, w, c = feats.shape
+    tokens = feats.reshape(b, h * w, c)
+    scores = jnp.einsum(
+        "bnc,tc->btn", tokens, folded["attn_pq"],
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(spec.token_dim))
+    wts = jax.nn.softmax(scores, axis=-1)
+    pooled = jnp.einsum(
+        "btn,bnc->btc", wts, tokens, preferred_element_type=jnp.float32
+    )
+    emb = jnp.einsum(
+        "btc,tce->bte", pooled.astype(folded["attn_fold"].dtype),
+        folded["attn_fold"], preferred_element_type=jnp.float32,
+    )
+    return _classify(folded, emb)
+
+
 def apply_train(
     params: Dict[str, Any], x: jnp.ndarray, spec: Spec, rng=None,
     dropout_rate: float = 0.0,

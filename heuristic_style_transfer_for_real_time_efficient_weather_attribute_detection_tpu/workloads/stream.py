@@ -51,6 +51,20 @@ class StreamPredictor:
         mask = jnp.asarray(class_mask(self.tasks))
         self._pack_k = None
         self._fused = False
+        self._rtm_folded = False
+        if family == "rtm" and getattr(spec, "use_attention", False):
+            from ..ops.kernel_select import winner
+
+            # Folded attention weights: the batch=1 step is HBM weight-read
+            # bound and the fold cuts the attention traffic 3x (see
+            # models/rtm.fold_stream_weights).  Selection by recorded
+            # measurement (tools/bench_latency.py --family rtm --record);
+            # "generic" forces the unfolded exact path.
+            if trunk_kernel == "folded" or (
+                trunk_kernel == "auto"
+                and winner("rtm_stream_folded", default="folded") == "folded"
+            ):
+                self._rtm_folded = True
         if family == "pmg":
             from ..models import pmg
             from ..ops.kernel_select import winner
@@ -95,6 +109,21 @@ class StreamPredictor:
                 kstate, smoothed = kalman.filter_update(kstate, probs)
                 return smoothed if use_kalman else probs, kstate
 
+        elif self._rtm_folded:
+            from ..models import rtm
+
+            folded = rtm.fold_stream_weights(params, spec, dtype=dtype)
+
+            @jax.jit
+            def step(folded, frame_u8, kstate):
+                x = normalize_uint8(frame_u8[None], dtype)
+                logits = rtm.apply_stream(folded, x, spec)
+                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
+                kstate, smoothed = kalman.filter_update(kstate, probs)
+                return smoothed if use_kalman else probs, kstate
+
+            params = folded
+
         else:
 
             @jax.jit
@@ -106,6 +135,12 @@ class StreamPredictor:
                 out = smoothed if use_kalman else probs
                 return out, kstate
 
+        if dtype != jnp.float32 and not (self._fused or self._rtm_folded):
+            # Weight reads dominate batch=1 (HBM-bound); cast like Engine
+            # does.  Fused/folded paths already derive dtype-cast weights.
+            from ..ops.nn import cast_tree
+
+            params = cast_tree(params, dtype)
         self._step = step
         self.params = params
         self.kstate = kalman.init_state(len(self.tasks), self.tasks.max_classes)
@@ -163,12 +198,14 @@ def run_camera(
     display: bool = True,
     max_frames: Optional[int] = None,
     record: bool = False,
+    dtype=jnp.float32,
 ) -> list:
     """Camera/video streaming loop.  ``video_path`` replaces the webcam with
     a file (testable headless); returns per-frame latencies."""
     import cv2
 
-    predictor = StreamPredictor(family, spec, params, use_kalman=kalman_filter)
+    predictor = StreamPredictor(family, spec, params, use_kalman=kalman_filter,
+                                dtype=dtype)
     cap = cv2.VideoCapture(video_path if video_path else camera_index)
     if not cap.isOpened():
         print("Error: cannot open camera/video source")

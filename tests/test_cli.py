@@ -71,6 +71,19 @@ def test_cli_benchmark_pred_images(env):
     assert len(preds) == 8
 
 
+def test_cli_compilation_cache(env):
+    """--compilation_cache persists compiled executables to the given dir."""
+    base, synth, root = _base(env)
+    cache = os.path.join(root, "xla_cache")
+    rc = main(base + [
+        "--mode", "inference", "--image_folder", os.path.join(synth, "images"),
+        "--save_dir", os.path.join(root, "cache_run"),
+        "--compilation_cache", cache,
+    ])
+    assert rc == 0
+    assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+
+
 def test_jit_determinism(env):
     """Same params+input -> bit-identical logits across separate jitted calls
     (SURVEY.md section 4 recommended determinism gate)."""

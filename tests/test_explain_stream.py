@@ -294,3 +294,24 @@ def test_stream_predictor_packed_matches_generic(model):
 
     want, _ = gstep(params, frame, pred_generic.kstate)
     np.testing.assert_allclose(probs, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_rtm_stream_folded_matches_generic():
+    """The RTM streaming fast path (precomputed pq + folded proj@out,
+    models/rtm.fold_stream_weights) must match the generic forward: argmax
+    identical, probabilities within fold tolerance."""
+    import jax
+
+    from wadt.models import rtm
+    from wadt.workloads.stream import StreamPredictor
+
+    spec = rtm.build_spec(TASKS, dict(truncate_layer=5, attn_token_dim=32))
+    params = rtm.init(jax.random.PRNGKey(3), spec)
+    frame = np.random.RandomState(2).randint(0, 256, (64, 64, 3), np.uint8)
+
+    folded = StreamPredictor("rtm", spec, params, trunk_kernel="folded")
+    generic = StreamPredictor("rtm", spec, params, trunk_kernel="generic")
+    assert folded._rtm_folded and not generic._rtm_folded
+    pf, pg = folded(frame), generic(frame)
+    np.testing.assert_allclose(pf, pg, atol=5e-5, rtol=1e-4)
+    np.testing.assert_array_equal(pf.argmax(-1), pg.argmax(-1))

@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Per-frame (batch=1) latency of the flagship PMG forward on the real chip —
-the BASELINE.md camera/stream latency report.
+"""Per-frame (batch=1) streaming latency on the real chip — the BASELINE.md
+camera/stream latency report.
 
-Numbers:
+Default (--family pmg, the flagship) reports:
 - generic / packed / fused streaming-step device time (on-device trace
   timestamps — relay-proof; includes softmax + fused Kalman),
 - chained device-loop generic forward (the legacy protocol, cross-check),
 - end_to_end_p50: submit->result through the AsyncBatcher (includes relay
   round-trip — on this rig dominated by the network relay, on real hardware
   by PCIe + dispatch).
+
+--family pm / rtm measures the generic streaming step for those families
+(they have no packed wire format — overlapping convs).
 
 --record stores the fused-vs-packed winner in results/kernel_ab.json
 ("fused_trunk_gram"), which StreamPredictor(trunk_kernel="auto") consults.
@@ -35,6 +38,10 @@ def main():
     ap.add_argument("--record", action="store_true",
                     help="store the fused-vs-packed streaming winner in "
                          "results/kernel_ab.json")
+    ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
+    ap.add_argument("--bf16", action="store_true",
+                    help="pm/rtm: bfloat16 streaming step (halves the "
+                         "weight-read traffic that dominates batch=1)")
     args = ap.parse_args()
 
     import __graft_entry__ as graft
@@ -45,8 +52,49 @@ def main():
     from wadt.ops.preprocess import normalize_uint8, s2d_pack_uint8
     from wadt.workloads.stream import StreamPredictor
 
-    _, spec, params = graft._flagship()
     rng = np.random.RandomState(0)
+    if args.family != "pmg":
+        # PM/RTM streaming step (batch=1 uint8 frame on device).  RTM A/Bs
+        # the generic vs folded-attention variants (models/rtm.apply_stream).
+        import bench
+
+        mod, spec, params = bench.build(args.family)
+        raw = rng.randint(0, 256, (224, 224, 3), np.uint8)
+        frame = jax.device_put(raw)
+        variants = (
+            ("generic", "folded") if args.family == "rtm" else ("generic",)
+        )
+        results = {}
+        try:
+            from wadt.utils.devtime import device_time_ms
+        except ImportError:
+            print("profiler protos unavailable; skipping device times")
+            return
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        for variant in variants:
+            pred = StreamPredictor(args.family, spec, params, use_kalman=True,
+                                   trunk_kernel=variant, dtype=dtype)
+            t, top = device_time_ms(
+                lambda p, z, k: pred._step(p, z, k),
+                pred.params, frame, pred.kstate, iters=20,
+            )
+            results[variant] = t * 1e3
+            print(f"streaming step [{args.family} {variant:7s}]: {t*1e3:6.1f} "
+                  f"us/frame (device, incl. softmax+kalman)")
+            for ms, name in top[:4]:
+                print(f"    {ms*1e3:8.1f} us  {name}")
+        if args.record and {"generic", "folded"} <= set(results):
+            win = ("folded" if results["folded"] < results["generic"]
+                   else "generic")
+            kernel_select.record(
+                "rtm_stream_folded", win,
+                results["generic"], results["folded"], "batch1 224px defaults",
+            )
+            print(f"recorded rtm_stream_folded winner={win} -> "
+                  f"{kernel_select.RECORD_PATH}")
+        return
+
+    _, spec, params = graft._flagship()
     frame = jax.device_put(rng.randint(0, 256, (1, 224, 224, 3), np.uint8))
 
     # --- streaming-step variants, on-device trace time ---

@@ -64,8 +64,13 @@ def check_bf16_argmax_parity() -> bool:
 
 
 def check_packed_stream_parity() -> bool:
-    """Packed streaming fast path must equal the generic step on the shipped
-    checkpoint (bit-exact contract of pmg.apply_packed)."""
+    """PMG streaming fast paths vs the generic step on the shipped
+    checkpoint: the packed path is bit-exact (checked under pinned full-f32
+    matmuls so reassociation noise cannot mask a real bug); the fused Pallas
+    path (folded bf16 weights) must be argmax-identical within its
+    documented <=1e-3 prob drift.  The fused check runs FIRST: the Mosaic
+    kernel's bf16 dots cannot compile under precision=highest, and the
+    precision pin is process-global."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -77,28 +82,87 @@ def check_packed_stream_parity() -> bool:
     from wadt.ops.preprocess import normalize_uint8
     from wadt.workloads.stream import StreamPredictor
 
-    # correctness check, not a perf run: pin full-f32 matmuls so conv-vs-GEMM
-    # reassociation noise (<=5e-4 at the fast default) cannot mask a real bug
-    wadt.config.enable_parity_precision()
-
     meta = json.load(open(os.path.join(FIXTURES, "pmg_shipped.json")))
     mod = get_family("pmg")
     spec = mod.build_spec(meta["tasks"], meta["hparams"])
     params = checkpoint.load_torch_checkpoint(
         "pmg", os.path.join(FIXTURES, "pmg_shipped.pth"), spec
     )
-    pred = StreamPredictor("pmg", spec, params)
+    frame = np.random.RandomState(0).randint(0, 256, (224, 224, 3), np.uint8)
+    mask = jnp.asarray(class_mask(spec.tasks))
+
+    def generic():
+        lg, _ = mod.apply(params, normalize_uint8(jnp.asarray(frame[None])), spec)
+        return np.asarray(masked_softmax(lg.astype(jnp.float32), mask)[0])
+
+    ok = True
+    from wadt.ops.pallas_kernels import supports_fused_trunk_gram
+
+    if supports_fused_trunk_gram(spec):
+        fused = StreamPredictor("pmg", spec, params, trunk_kernel="fused")
+        got, want = fused(frame), generic()
+        drift = float(np.abs(got - want).max())
+        agree = bool((got.argmax(-1) == want.argmax(-1)).all())
+        print(f"  [stream] fused-pallas vs generic: argmax "
+              f"{'ok' if agree else 'DIFF'}, max prob diff {drift:.2e}")
+        # folded-bf16 weights: ~1e-3 prob drift measured; argmax is the gate
+        ok &= agree and drift < 2e-3
+
+    # correctness check, not a perf run: pin full-f32 matmuls so conv-vs-GEMM
+    # reassociation noise (<=5e-4 at the fast default) cannot mask a real bug
+    wadt.config.enable_parity_precision()
+    pred = StreamPredictor("pmg", spec, params, trunk_kernel="packed")
     if pred._pack_k is None:
         print("  [stream] packed path inactive for shipped spec: FAIL")
         return False
-    frame = np.random.RandomState(0).randint(0, 256, (224, 224, 3), np.uint8)
-    got = pred(frame)
-    mask = jnp.asarray(class_mask(spec.tasks))
-    lg, _ = mod.apply(params, normalize_uint8(jnp.asarray(frame[None])), spec)
-    want = np.asarray(masked_softmax(lg.astype(jnp.float32), mask)[0])
-    diff = float(np.abs(got - want).max())
+    diff = float(np.abs(pred(frame) - generic()).max())
     print(f"  [stream] packed vs generic max prob diff: {diff:.2e}")
-    return diff < 1e-6
+    return ok and diff < 1e-6
+
+
+def check_rtm_folded_stream_parity() -> bool:
+    """The RTM folded streaming path (bf16 derived weights) must preserve the
+    argmax on the RTM golden fixtures vs the frozen reference logits."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import wadt  # noqa: F401
+    from wadt.engine import checkpoint
+    from wadt.models import get_family
+    from wadt.workloads.stream import StreamPredictor
+
+    ok = True
+    for jf in sorted(glob.glob(os.path.join(FIXTURES, "rtm_*.json"))):
+        name = os.path.splitext(os.path.basename(jf))[0]
+        meta = json.load(open(jf))
+        mod = get_family("rtm")
+        spec = mod.build_spec(meta["tasks"], meta["hparams"])
+        if not spec.use_attention:
+            continue
+        params = checkpoint.load_torch_checkpoint(
+            "rtm", os.path.join(FIXTURES, f"{name}.pth"), spec
+        )
+        data = np.load(os.path.join(FIXTURES, f"{name}.npz"))
+        x = np.transpose(data["input"], (0, 2, 3, 1))  # NCHW f32 -> NHWC
+        pred = StreamPredictor("rtm", spec, params, trunk_kernel="folded",
+                               dtype=jnp.bfloat16)
+        assert pred._rtm_folded
+        from wadt.models import rtm
+
+        lg = np.asarray(
+            rtm.apply_stream(pred.params, jnp.asarray(x, jnp.bfloat16), spec),
+            np.float32,
+        )
+        agree, drift = True, 0.0
+        for i, task in enumerate(spec.tasks.names):
+            want = data[f"logits/{task}"]
+            got = lg[:, i, : want.shape[1]]
+            agree &= bool((got.argmax(-1) == want.argmax(-1)).all())
+            drift = max(drift, float(np.abs(got - want).max()))
+        print(f"  [rtm-folded bf16] {name}: argmax {'ok' if agree else 'DIFF'} "
+              f"drift {drift:.4f}")
+        ok &= agree
+    return ok
 
 
 def main() -> int:
@@ -110,20 +174,34 @@ def main() -> int:
 
     import jax
 
+    # ~17 distinct programs compile over the remote-compile service (~25s
+    # each on this rig); persist the executables so reruns take ~2 min.
+    cache_dir = os.environ.get(
+        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
+    )
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     kinds = {d.platform.lower() for d in jax.devices()}
     if not kinds & {"tpu", "axon"}:
         print(f"tpu_checklist: no TPU attached ({sorted(kinds)}); aborting")
         return 1
 
     failures = []
-    print("[1/3] bf16 argmax parity over golden fixtures")
+    print("[1/4] bf16 argmax parity over golden fixtures")
     if not check_bf16_argmax_parity():
         failures.append("bf16_argmax_parity")
-    print("[2/3] packed streaming path parity")
+    print("[2/4] RTM folded streaming path parity (bf16)")
+    if not check_rtm_folded_stream_parity():
+        failures.append("rtm_folded_stream_parity")
+    print("[3/4] PMG streaming paths parity (fused + packed; pins "
+          "full-f32 precision for the packed bit-exact check)")
     if not check_packed_stream_parity():
         failures.append("packed_stream_parity")
     if args.perf:
-        print("[3/3] kernel A/B record + perf regression gate")
+        print("[4/4] kernel A/B record + perf regression gate")
         for cmd in (
             [sys.executable, os.path.join(REPO, "tools", "bench_kernels.py"),
              "--record"],
@@ -132,7 +210,7 @@ def main() -> int:
             if subprocess.call(cmd) != 0:
                 failures.append(os.path.basename(cmd[1]))
     else:
-        print("[3/3] perf checks skipped (pass --perf)")
+        print("[4/4] perf checks skipped (pass --perf)")
 
     if failures:
         print(f"tpu_checklist FAILED: {failures}")

@@ -298,6 +298,7 @@ def main(argv=None) -> int:
                 val_split=args.val_split, freeze_encoder=args.freeze_encoder,
                 num_workers=args.num_workers, dropout_rate=args.dropout_rate,
                 resume=args.resume, save_every=args.save_every,
+                bf16=args.bf16,
             ),
             init_params=engine.params if args.model_path else None,
         )
@@ -467,29 +468,43 @@ def _run_explain(args, engine, ds, writer=None):
 def _run_style_transfer(args, engine, ds):
     from PIL import Image
 
+    import numpy as np
+
     from .ops.preprocess import load_image_normalized
-    from .workloads.style_transfer import run_patch_gram_style_transfer, style_transfer_composite
+    from .workloads.style_transfer import (
+        run_patch_gram_style_transfer_batch,
+        style_transfer_composite,
+    )
 
     if args.family != "pmg":
         print("[style-transfer] only the PMG family has a Gram trunk; skipping")
         return
     out_dir = os.path.join(args.save_dir, "StyleTransfer")
     os.makedirs(out_dir, exist_ok=True)
-    n = args.num_samples or len(ds)
-    for idx in range(min(n, len(ds))):
-        path = ds.samples[idx][0]
-        base = os.path.splitext(os.path.basename(path))[0]
-        print(f"style transfer {idx + 1}/{n}: {path}")
-        x = load_image_normalized(path)[None]
-        gen, loss, iters = run_patch_gram_style_transfer(
+    n = min(args.num_samples or len(ds), len(ds))
+    paths = [ds.samples[idx][0] for idx in range(n)]
+    # One device optimization loop per chunk of images: every image in the
+    # chunk runs its own Adam trajectory concurrently (per-image early stop),
+    # instead of the reference's one-image-at-a-time outer loop.
+    chunk = 32
+    for lo in range(0, n, chunk):
+        batch_paths = paths[lo : lo + chunk]
+        print(
+            f"style transfer images {lo + 1}-{lo + len(batch_paths)} of {n} "
+            f"(one batched optimization)"
+        )
+        x = np.stack([load_image_normalized(p) for p in batch_paths])
+        gens, losses, iters = run_patch_gram_style_transfer_batch(
             engine.params, engine.spec, x,
             num_iterations=args.style_iterations, lr=args.lr,
             init_type=args.init_type, target_loss=args.target_loss,
         )
-        combined = style_transfer_composite(Image.open(path).convert("RGB"), gen)
-        out = os.path.join(out_dir, f"{base}_styled.png")
-        combined.save(out)
-        print(f"saved {out} (loss={loss:.6f}, iters={iters})")
+        for path, gen, loss, its in zip(batch_paths, gens, losses, iters):
+            base = os.path.splitext(os.path.basename(path))[0]
+            combined = style_transfer_composite(Image.open(path).convert("RGB"), gen)
+            out = os.path.join(out_dir, f"{base}_styled.png")
+            combined.save(out)
+            print(f"saved {out} (loss={float(loss):.6f}, iters={int(its)})")
 
 
 if __name__ == "__main__":

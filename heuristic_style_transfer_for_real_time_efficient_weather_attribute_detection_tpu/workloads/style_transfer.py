@@ -11,9 +11,14 @@ Semantics preserved exactly:
 - loss = mean over patches of MSE between Gram matrices (:51-59),
 - Adam on pixels, early stop at ``target_loss``, final clamp to [0,1].
 
-TPU-native: the whole (forward + backward + Adam update) is ONE jitted step;
-the reference pays a Python-level optimizer step plus ``retain_graph=True``
-re-backwards per iteration.
+TPU-native: the optimization runs as a device-side ``lax.while_loop``
+(forward + backward + Adam + early-stop test all on device), dispatched once
+per ``log_every`` chunk — the reference pays a Python-level optimizer step
+plus ``retain_graph=True`` re-backwards per iteration, and a naive JAX port
+would pay one host round-trip per iteration just to test ``target_loss``.
+A batched entry point optimizes a whole folder of style images in one loop,
+freezing each image the iteration after its own loss crosses the target, so
+every image's trajectory is identical to a solo run.
 """
 
 from __future__ import annotations
@@ -37,6 +42,99 @@ def extract_style_grams(params, spec: pmg.Spec, img_norm: jnp.ndarray) -> jnp.nd
     return style_patch_grams(feats, spec.patch_div)
 
 
+def run_patch_gram_style_transfer_batch(
+    params,
+    spec: pmg.Spec,
+    style_imgs_norm: np.ndarray,
+    num_iterations: int = 300,
+    lr: float = 0.05,
+    init_type: str = "noise",
+    target_loss: float = 1e-3,
+    seed: int = 0,
+    log_every: int = 50,
+) -> Tuple[list, np.ndarray, np.ndarray]:
+    """Optimize one generated image per style image, all in ONE device loop.
+
+    Per-image semantics match the reference exactly (PMG_style_transfer.py:89-98):
+    each iteration computes the loss at the current pixels, applies the Adam
+    step, and stops the first time its own loss drops below ``target_loss``
+    (the final step IS applied, as in the reference's post-step ``break``).
+    Images that finish early are frozen (their updates masked) while the rest
+    continue — Adam is elementwise and the per-image losses are independent,
+    so each trajectory is identical to running that image alone.
+
+    Returns (list of PIL images, final per-image losses [B], iterations [B]).
+    """
+    style = jnp.asarray(style_imgs_norm, jnp.float32)
+    style_grams = extract_style_grams(params, spec, style)  # [B, Np, C, C]
+    batch = style.shape[0]
+
+    if init_type == "noise":
+        gen = jax.random.uniform(jax.random.PRNGKey(seed), style.shape, jnp.float32)
+    else:
+        gen = jnp.full(style.shape, 0.5, jnp.float32)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(gen)
+
+    def per_image_loss(g):
+        feats = pmg.trunk_features(params, g, spec)
+        grams = style_patch_grams(feats, spec.patch_div)
+        return jnp.mean((grams - style_grams) ** 2, axis=(1, 2, 3))  # [B]
+
+    def chunk(carry, it_end, target):
+        # while any image is live and the global iteration budget remains:
+        # one fused fwd+bwd+Adam+mask step per trip, entirely on device.
+        def cond(c):
+            g, s, it, loss, iters = c
+            return (it < it_end) & jnp.any(loss >= target)
+
+        def summed_loss(x):
+            li = per_image_loss(x)
+            return li.sum(), li
+
+        def body(c):
+            g, s, it, loss, iters = c
+            live = (loss >= target)[:, None, None, None].astype(g.dtype)
+            (_, li), grad = jax.value_and_grad(summed_loss, has_aux=True)(g)
+            updates, s = opt.update(grad, s)
+            g = optax.apply_updates(g, jax.tree.map(lambda u: u * live, updates))
+            iters = iters + (loss >= target).astype(jnp.int32)
+            return g, s, it + 1, jnp.where(loss >= target, li, loss), iters
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    run_chunk = jax.jit(chunk)
+
+    loss_vec = jnp.full((batch,), jnp.inf, jnp.float32)
+    iters_vec = jnp.zeros((batch,), jnp.int32)
+    carry = (gen, opt_state, jnp.zeros((), jnp.int32), loss_vec, iters_vec)
+    step_size = log_every if log_every and log_every > 0 else num_iterations
+    it_host = 0
+    while it_host < num_iterations:
+        it_end = min(it_host + step_size, num_iterations)
+        carry = run_chunk(carry, jnp.int32(it_end), jnp.float32(target_loss))
+        it_host = int(carry[2])
+        losses = np.asarray(carry[3])
+        if log_every:
+            print(
+                f"[{it_host}/{num_iterations}] style loss = "
+                f"{float(np.max(losses)):.6f} (worst of {batch})"
+            )
+        if bool(np.all(losses < target_loss)):
+            print(
+                f"Target style loss reached: {float(np.max(losses)):.6f} "
+                f"< {target_loss}"
+            )
+            break
+
+    gen = np.asarray(jnp.clip(carry[0], 0.0, 1.0))
+    images = [
+        Image.fromarray((gen[i] * 255).astype(np.uint8)) for i in range(batch)
+    ]
+    return images, np.asarray(carry[3]), np.asarray(carry[4])
+
+
 def run_patch_gram_style_transfer(
     params,
     spec: pmg.Spec,
@@ -50,43 +148,12 @@ def run_patch_gram_style_transfer(
 ) -> Tuple[Image.Image, float, int]:
     """Optimize a generated image to match the style image's patch-Gram
     signature.  Returns (PIL image, final_loss, iterations_run)."""
-    style_img_norm = jnp.asarray(style_img_norm[:1])
-    style_grams = extract_style_grams(params, spec, style_img_norm)
-
-    shape = style_img_norm.shape
-    if init_type == "noise":
-        gen = jax.random.uniform(jax.random.PRNGKey(seed), shape, jnp.float32)
-    else:
-        gen = jnp.full(shape, 0.5, jnp.float32)
-
-    opt = optax.adam(lr)
-    opt_state = opt.init(gen)
-
-    def loss_fn(g):
-        feats = pmg.trunk_features(params, g, spec)
-        grams = style_patch_grams(feats, spec.patch_div)
-        return jnp.mean((grams - style_grams) ** 2)
-
-    @jax.jit
-    def step(g, s):
-        loss, grad = jax.value_and_grad(loss_fn)(g)
-        updates, s = opt.update(grad, s)
-        return optax.apply_updates(g, updates), s, loss
-
-    loss_val = float("inf")
-    it = 0
-    for it in range(1, num_iterations + 1):
-        gen, opt_state, loss = step(gen, opt_state)
-        loss_val = float(loss)
-        if log_every and it % log_every == 0:
-            print(f"[{it}/{num_iterations}] style loss = {loss_val:.6f}")
-        if loss_val < target_loss:
-            print(f"Target style loss reached: {loss_val:.6f} < {target_loss}")
-            break
-
-    out = np.asarray(jnp.clip(gen, 0.0, 1.0))[0]
-    img = Image.fromarray((out * 255).astype(np.uint8))
-    return img, loss_val, it
+    images, losses, iters = run_patch_gram_style_transfer_batch(
+        params, spec, np.asarray(style_img_norm)[:1],
+        num_iterations=num_iterations, lr=lr, init_type=init_type,
+        target_loss=target_loss, seed=seed, log_every=log_every,
+    )
+    return images[0], float(losses[0]), int(iters[0])
 
 
 def style_transfer_composite(

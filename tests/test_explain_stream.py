@@ -84,6 +84,51 @@ def test_style_transfer_loss_decreases(model):
     assert img.size == (64, 64)
 
 
+def test_style_transfer_batch_matches_solo(model):
+    """Each image in a batched optimization follows the same trajectory it
+    would alone (elementwise Adam + independent per-image losses)."""
+    from wadt.workloads.style_transfer import (
+        run_patch_gram_style_transfer,
+        run_patch_gram_style_transfer_batch,
+    )
+
+    spec, params = model
+    styles = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32) * 0.5
+    imgs, losses, iters = run_patch_gram_style_transfer_batch(
+        params, spec, styles, num_iterations=5, lr=0.05, init_type="gray",
+        target_loss=0.0, log_every=0,
+    )
+    assert list(iters) == [5, 5]
+    for i in range(2):
+        img, loss, it = run_patch_gram_style_transfer(
+            params, spec, styles[i : i + 1], num_iterations=5, lr=0.05,
+            init_type="gray", target_loss=0.0, log_every=0,
+        )
+        assert it == 5
+        np.testing.assert_allclose(losses[i], loss, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(imgs[i], np.float32), np.asarray(img, np.float32),
+            atol=1.0,  # uint8 off-by-one from batched-vs-solo conv numerics
+        )
+
+
+def test_style_transfer_batch_early_stop(model):
+    """A huge target stops every image after one applied step (the reference
+    breaks AFTER optimizer.step(), so pixels must have moved)."""
+    from wadt.workloads.style_transfer import run_patch_gram_style_transfer_batch
+
+    spec, params = model
+    styles = np.random.RandomState(4).randn(2, 64, 64, 3).astype(np.float32) * 0.5
+    imgs, losses, iters = run_patch_gram_style_transfer_batch(
+        params, spec, styles, num_iterations=10, lr=0.05, init_type="gray",
+        target_loss=1e9, log_every=0,
+    )
+    assert list(iters) == [1, 1]
+    assert np.isfinite(losses).all()
+    moved = np.abs(np.asarray(imgs[0], np.float32) / 255.0 - 0.5)
+    assert float(moved.max()) > 0.01
+
+
 def test_kalman_identity_dynamics():
     """Matches the closed-form pykalman-default recursion; converges to a
     constant observation."""

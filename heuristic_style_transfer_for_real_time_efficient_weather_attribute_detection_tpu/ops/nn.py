@@ -7,11 +7,33 @@ activations/weights are bf16.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+
+# Trace-time conv accumulation policy.  Default: pin the conv OUTPUT dtype to
+# f32 (preferred_element_type) so bf16 inference keeps f32 accumulation all
+# the way into the next op — this is what the bf16 parity bounds were
+# measured under.  The mixed-precision TRAIN path clears it because jax's
+# conv transpose rule cannot transpose a bf16 conv with an f32 cotangent
+# (TypeError in jax 0.9.0); the TPU MXU still accumulates each conv in f32
+# internally, the result is simply rounded to bf16 between layers.
+_CONV_PET: Optional[jnp.dtype] = jnp.float32
+
+
+@contextlib.contextmanager
+def conv_accum(pet: Optional[jnp.dtype]):
+    """Temporarily set (or clear, with None) the convs'
+    ``preferred_element_type``.  Trace-time only — wrap the forward call."""
+    global _CONV_PET
+    old, _CONV_PET = _CONV_PET, pet
+    try:
+        yield
+    finally:
+        _CONV_PET = old
 
 
 def conv2d(
@@ -31,7 +53,7 @@ def conv2d(
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_CONV_PET,
     )
     if "b" in p and p["b"] is not None:
         y = y + p["b"]

@@ -162,7 +162,7 @@ def _merge_stats(current, updated):
     """Adopt only BatchNorm running statistics from a train-mode forward's
     updated subtree, preserving the optimizer-updated weights/scales."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, cur, upd: upd
+        lambda path, cur, upd: upd.astype(cur.dtype)
         if (set(_path_names(path)) & _STATS_KEYS)
         else cur,
         current,
@@ -191,6 +191,7 @@ def make_train_step(
     bn_train: bool = True,
     dropout_rate: float = 0.1,
     dropout_seed: int = 1234,
+    compute_dtype: Any = None,
 ) -> Tuple[Callable, Callable]:
     """Returns (init_fn(key) -> TrainState, step_fn(state, images, labels)).
 
@@ -203,6 +204,11 @@ def make_train_step(
     (reference hardcodes 0.1, models_PMG.py:146; rng folds the step counter
     so every step draws fresh masks); ``freeze_encoder`` zeroes
     trunk/backbone gradients (the recorded ``freeze_encoder`` option).
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 against
+    f32 master weights (the cast sits inside loss_fn, so gradients come back
+    f32 and AdamW/BN-running-stat state stays full precision) — the standard
+    TPU mixed-precision regime; loss itself is always reduced in f32.
     """
     mod = get_family(family)
     mask = jnp.asarray(class_mask(spec.tasks))
@@ -217,7 +223,25 @@ def make_train_step(
     )
     drop_key = jax.random.PRNGKey(dropout_seed)
 
+    cdt = compute_dtype
+
     def loss_fn(params, images, labels, step_idx):
+        import contextlib
+
+        from ..ops import nn as nn_ops
+
+        mixed = cdt is not None and cdt != jnp.float32
+        if mixed:
+            params = nn_ops.cast_tree(params, cdt)
+            images = images.astype(cdt)
+        # Mixed precision clears the convs' f32 output pinning: jax 0.9's
+        # conv transpose rule cannot take an f32 cotangent against bf16
+        # operands, and the MXU accumulates in f32 internally either way.
+        ctx = nn_ops.conv_accum(None) if mixed else contextlib.nullcontext()
+        with ctx:
+            return _forward_loss(params, images, labels, step_idx)
+
+    def _forward_loss(params, images, labels, step_idx):
         if train_mode:
             rng = (
                 jax.random.fold_in(drop_key, step_idx)

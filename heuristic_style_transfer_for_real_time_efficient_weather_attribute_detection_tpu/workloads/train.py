@@ -20,6 +20,7 @@ import os
 import time
 from typing import Any, Dict, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import IGNORE_INDEX
@@ -62,6 +63,8 @@ DEFAULT_OPTIONS: Dict[str, Any] = {
     # else stream-decode per batch each epoch)
     "cache_in_memory": None,
     "cache_budget_bytes": 4 << 30,
+    # bf16 forward/backward against f32 master weights (mixed precision)
+    "bf16": False,
 }
 
 
@@ -170,6 +173,7 @@ def fit(
         use_focal=opts["use_focal"], focal_gamma=opts["focal_gamma"],
         class_weights=class_weights, freeze_encoder=opts["freeze_encoder"],
         dropout_rate=opts["dropout_rate"], dropout_seed=opts["seed"] + 1234,
+        compute_dtype=(jnp.bfloat16 if opts["bf16"] else None),
     )
     state = init_fn(jax.random.PRNGKey(opts["seed"]))
     if init_params is not None:

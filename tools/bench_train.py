@@ -23,11 +23,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 64}
+# bf16 halves activation memory: RTM sustains (and prefers) batch 256
+# (sweep 2026-08-16: 64 -> 1579, 128 -> 1880, 256 -> 2072 img/s)
+BF16_FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 256}
 INNER = {"pmg": 50, "pm": 10, "rtm": 5}
 REPEATS = 3
 
 
-def measure(family: str, batch: int) -> float:
+def measure(family: str, batch: int, bf16: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +40,8 @@ def measure(family: str, batch: int) -> float:
 
     mod, spec, params = bench.build(family)
     del mod, params
-    init_fn, step_fn = make_train_step(family, spec)
+    cdt = jnp.bfloat16 if bf16 else None
+    init_fn, step_fn = make_train_step(family, spec, compute_dtype=cdt)
     state = init_fn(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -72,6 +76,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=("pmg", "pm", "rtm", "all"), default="all")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 forward/backward against f32 master weights")
     ap.add_argument("--record", action="store_true",
                     help="write results/bench_train.json")
     args = ap.parse_args()
@@ -79,10 +85,12 @@ def main():
     fams = ("pmg", "pm", "rtm") if args.family == "all" else (args.family,)
     out = {}
     for fam in fams:
-        batch = args.batch or FAMILY_BATCH[fam]
-        ips = measure(fam, batch)
-        out[fam] = {"train_images_per_sec": round(ips, 1), "batch": batch}
-        print(f"[train] {fam} batch={batch}: {ips:,.0f} img/s")
+        table = BF16_FAMILY_BATCH if args.bf16 else FAMILY_BATCH
+        batch = args.batch or table[fam]
+        ips = measure(fam, batch, bf16=args.bf16)
+        key = fam + ("_bf16" if args.bf16 else "")
+        out[key] = {"train_images_per_sec": round(ips, 1), "batch": batch}
+        print(f"[train] {key} batch={batch}: {ips:,.0f} img/s")
     if args.record:
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "results", "bench_train.json")

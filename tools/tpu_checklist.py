@@ -165,6 +165,42 @@ def check_rtm_folded_stream_parity() -> bool:
     return ok
 
 
+def check_mixed_precision_train() -> bool:
+    """The bf16-compute train step (CPU CI only traces it — execution needs
+    bf16 dots): 8 steps on a tiny PMG must reduce the loss and keep the
+    master params f32."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import wadt  # noqa: F401
+    from wadt.models import pmg
+    from wadt.parallel.train import make_train_step
+
+    tasks = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+    tiny = dict(ndf=8, patch_size=64, patch_div=2, gram_channels=16,
+                d_model=32, transformer_layers=1, transformer_heads=2,
+                norm="batch")
+    spec = pmg.build_spec(tasks, tiny)
+    init_fn, step_fn = make_train_step("pmg", spec,
+                                       compute_dtype=jnp.bfloat16)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(8, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+    losses = []
+    for _ in range(8):
+        state, loss = step_fn(state, imgs, labels)
+        losses.append(float(loss))
+    f32_ok = all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"  [bf16-train] loss {losses[0]:.4f} -> {losses[-1]:.4f}, "
+          f"master params f32: {f32_ok}")
+    return losses[-1] < losses[0] and f32_ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--perf", action="store_true",
@@ -190,18 +226,21 @@ def main() -> int:
         return 1
 
     failures = []
-    print("[1/4] bf16 argmax parity over golden fixtures")
+    print("[1/5] bf16 argmax parity over golden fixtures")
     if not check_bf16_argmax_parity():
         failures.append("bf16_argmax_parity")
-    print("[2/4] RTM folded streaming path parity (bf16)")
+    print("[2/5] RTM folded streaming path parity (bf16)")
     if not check_rtm_folded_stream_parity():
         failures.append("rtm_folded_stream_parity")
-    print("[3/4] PMG streaming paths parity (fused + packed; pins "
+    print("[3/5] mixed-precision train step (bf16 compute, f32 master)")
+    if not check_mixed_precision_train():
+        failures.append("mixed_precision_train")
+    print("[4/5] PMG streaming paths parity (fused + packed; pins "
           "full-f32 precision for the packed bit-exact check)")
     if not check_packed_stream_parity():
         failures.append("packed_stream_parity")
     if args.perf:
-        print("[4/4] kernel A/B record + perf regression gate")
+        print("[5/5] kernel A/B record + perf regression gate")
         for cmd in (
             [sys.executable, os.path.join(REPO, "tools", "bench_kernels.py"),
              "--record"],
@@ -210,7 +249,7 @@ def main() -> int:
             if subprocess.call(cmd) != 0:
                 failures.append(os.path.basename(cmd[1]))
     else:
-        print("[4/4] perf checks skipped (pass --perf)")
+        print("[5/5] perf checks skipped (pass --perf)")
 
     if failures:
         print(f"tpu_checklist FAILED: {failures}")

@@ -146,7 +146,8 @@ def head_apply(
 
 
 def fold_stream_weights(
-    params: Dict[str, Any], spec: Spec, dtype=jnp.float32
+    params: Dict[str, Any], spec: Spec, dtype=jnp.float32,
+    quantize_fold: bool = False,
 ) -> Dict[str, Any]:
     """Derived weights for the batch=1 streaming fast path.
 
@@ -170,6 +171,15 @@ def fold_stream_weights(
     vs the generic path.  Backbone/classifier weights are cast to ``dtype``.
     Batch-eval (Engine) keeps the unfolded form: at batch 256 the projections
     are MXU-bound GEMMs and the extra read is amortized to noise.
+
+    ``quantize_fold=True`` stores the folded matrix weight-only int8 with
+    per-(task, output-column) symmetric scales: the remaining [T, C, C] read
+    is still the frame's dominant HBM traffic, and XLA fuses the
+    int8->bf16 dequant into the einsum's weight read (measured 68.8 vs
+    134.8 us device time at T=12, C=2048 — tools/exp_rtm_int8_stream.py).
+    Activations and accumulation stay >= bf16/f32; argmax parity on the RTM
+    golden fixtures is gated by tools/tpu_checklist.py before the recorded
+    selection may pick it.
     """
     if not spec.use_attention:
         raise ValueError("fold_stream_weights requires use_attention=True")
@@ -184,13 +194,21 @@ def fold_stream_weights(
         "tcd,tde->tce", attn["proj_w"], attn["out_w"],
         preferred_element_type=jnp.float32,
     )
-    return {
+    out = {
         "backbone": cast_tree(params["backbone"], dtype),
         "attn_pq": pq,  # f32: scores stay exact
-        "attn_fold": fold.astype(dtype),
         "mlp": cast_tree(params["mlp"], dtype),
         "final": cast_tree(params["final"], dtype),
     }
+    if quantize_fold:
+        amax = jnp.max(jnp.abs(fold), axis=1)  # [T, E]
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(fold / scale[:, None, :]), -127, 127)
+        out["attn_fold_q8"] = q.astype(jnp.int8)
+        out["attn_fold_scale"] = scale.astype(dtype)
+    else:
+        out["attn_fold"] = fold.astype(dtype)
+    return out
 
 
 def apply_stream(
@@ -216,9 +234,16 @@ def apply_stream(
     pooled = jnp.einsum(
         "btn,bnc->btc", wts, tokens, preferred_element_type=jnp.float32
     )
+    if "attn_fold_q8" in folded:
+        # weight-only int8: XLA fuses the dequant into the einsum's weight
+        # read, so the dominant [T, C, C] HBM transfer happens at 1 byte/elt
+        scale = folded["attn_fold_scale"]
+        w = folded["attn_fold_q8"].astype(scale.dtype) * scale[:, None, :]
+    else:
+        w = folded["attn_fold"]
     emb = jnp.einsum(
-        "btc,tce->bte", pooled.astype(folded["attn_fold"].dtype),
-        folded["attn_fold"], preferred_element_type=jnp.float32,
+        "btc,tce->bte", pooled.astype(w.dtype), w,
+        preferred_element_type=jnp.float32,
     )
     return _classify(folded, emb)
 

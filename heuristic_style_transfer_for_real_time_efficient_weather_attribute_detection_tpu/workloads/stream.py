@@ -52,19 +52,23 @@ class StreamPredictor:
         self._pack_k = None
         self._fused = False
         self._rtm_folded = False
+        self._rtm_fold_q8 = False
         if family == "rtm" and getattr(spec, "use_attention", False):
             from ..ops.kernel_select import winner
 
             # Folded attention weights: the batch=1 step is HBM weight-read
             # bound and the fold cuts the attention traffic 3x (see
-            # models/rtm.fold_stream_weights).  Selection by recorded
-            # measurement (tools/bench_latency.py --family rtm --record);
-            # "generic" forces the unfolded exact path.
-            if trunk_kernel == "folded" or (
-                trunk_kernel == "auto"
-                and winner("rtm_stream_folded", default="folded") == "folded"
-            ):
+            # models/rtm.fold_stream_weights); "folded_q8" additionally
+            # stores the folded matrix weight-only int8 (halves the dominant
+            # read again).  Selection by recorded measurement
+            # (tools/bench_latency.py --family rtm --record; argmax parity
+            # gated by tools/tpu_checklist.py); "generic" forces the
+            # unfolded exact path.
+            sel = (trunk_kernel if trunk_kernel != "auto"
+                   else winner("rtm_stream_folded", default="folded"))
+            if sel in ("folded", "folded_q8"):
                 self._rtm_folded = True
+                self._rtm_fold_q8 = sel == "folded_q8"
         if family == "pmg":
             from ..models import pmg
             from ..ops.kernel_select import winner
@@ -112,7 +116,9 @@ class StreamPredictor:
         elif self._rtm_folded:
             from ..models import rtm
 
-            folded = rtm.fold_stream_weights(params, spec, dtype=dtype)
+            folded = rtm.fold_stream_weights(
+                params, spec, dtype=dtype, quantize_fold=self._rtm_fold_q8
+            )
 
             @jax.jit
             def step(folded, frame_u8, kstate):

@@ -360,3 +360,12 @@ def test_rtm_stream_folded_matches_generic():
     pf, pg = folded(frame), generic(frame)
     np.testing.assert_allclose(pf, pg, atol=5e-5, rtol=1e-4)
     np.testing.assert_array_equal(pf.argmax(-1), pg.argmax(-1))
+
+    # weight-only int8 fold: argmax preserved, probs within quant tolerance;
+    # the stored fold really is int8 (the HBM read is the point)
+    q8 = StreamPredictor("rtm", spec, params, trunk_kernel="folded_q8")
+    assert q8._rtm_fold_q8 and q8.params["attn_fold_q8"].dtype == np.int8
+    assert "attn_fold" not in q8.params
+    pq = q8(frame)
+    np.testing.assert_allclose(pq, pg, atol=0.02)
+    np.testing.assert_array_equal(pq.argmax(-1), pg.argmax(-1))

@@ -30,6 +30,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INNER = 200
 
 
+def _rtm_q8_parity_ok(spec, dtype) -> bool:
+    """Quantized-fold eligibility: argmax must match the frozen reference
+    logits on every attention RTM golden fixture (same gate
+    tools/tpu_checklist.py applies to the recorded winner)."""
+    import glob as _glob
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wadt.engine import checkpoint
+    from wadt.models import rtm
+
+    del spec  # gate runs over the fixtures' own specs
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures")
+    ok = True
+    for jf in sorted(_glob.glob(os.path.join(fixtures, "rtm_*.json"))):
+        name = os.path.splitext(os.path.basename(jf))[0]
+        meta = json.load(open(jf))
+        fspec = rtm.build_spec(meta["tasks"], meta["hparams"])
+        if not fspec.use_attention:
+            continue
+        params = checkpoint.load_torch_checkpoint(
+            "rtm", os.path.join(fixtures, f"{name}.pth"), fspec)
+        data = np.load(os.path.join(fixtures, f"{name}.npz"))
+        x = np.transpose(data["input"], (0, 2, 3, 1))
+        folded = rtm.fold_stream_weights(params, fspec, dtype=dtype,
+                                         quantize_fold=True)
+        lg = np.asarray(rtm.apply_stream(folded, jnp.asarray(x, dtype), fspec),
+                        np.float32)
+        for i, task in enumerate(fspec.tasks.names):
+            want = data[f"logits/{task}"]
+            got = lg[:, i, : want.shape[1]]
+            ok &= bool((got.argmax(-1) == want.argmax(-1)).all())
+    return ok
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,7 +99,8 @@ def main():
         raw = rng.randint(0, 256, (224, 224, 3), np.uint8)
         frame = jax.device_put(raw)
         variants = (
-            ("generic", "folded") if args.family == "rtm" else ("generic",)
+            ("generic", "folded", "folded_q8")
+            if args.family == "rtm" else ("generic",)
         )
         results = {}
         try:
@@ -84,11 +122,20 @@ def main():
             for ms, name in top[:4]:
                 print(f"    {ms*1e3:8.1f} us  {name}")
         if args.record and {"generic", "folded"} <= set(results):
-            win = ("folded" if results["folded"] < results["generic"]
-                   else "generic")
+            win = min(results, key=results.get)
+            # argmax parity vs the golden fixtures is the eligibility gate
+            # for the quantized fold (weight-only int8 is an approximation;
+            # folded/generic are reassociations)
+            if win == "folded_q8" and not _rtm_q8_parity_ok(spec, dtype):
+                print("folded_q8 fastest but FAILS fixture argmax parity; "
+                      "recording next-best")
+                win = min((k for k in results if k != "folded_q8"),
+                          key=results.get)
             kernel_select.record(
                 "rtm_stream_folded", win,
-                results["generic"], results["folded"], "batch1 224px defaults",
+                results["generic"], min(results["folded"],
+                                        results.get("folded_q8", np.inf)),
+                "batch1 224px defaults",
             )
             print(f"recorded rtm_stream_folded winner={win} -> "
                   f"{kernel_select.RECORD_PATH}")

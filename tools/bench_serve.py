@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""End-to-end HTTP serving benchmark (requests/s + latency percentiles).
+
+Starts the production InferenceServer in-process on a loopback port (PMG
+shipped checkpoint by default), fires ``--clients`` concurrent threads each
+posting ``--requests`` JPEG images to POST /predict, and reports aggregate
+throughput plus client-observed and batcher-internal latency percentiles.
+Unlike bench.py this is the full production wire: HTTP parse -> JPEG decode
+-> resize/crop -> AsyncBatcher micro-batch -> chip -> JSON response.
+
+    python tools/bench_serve.py [--family pmg] [--clients 32] [--requests 50]
+                                [--record]
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpegs(n: int, size: int = 256) -> list:
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    out = []
+    for _ in range(n):
+        arr = rng.randint(0, 256, (size, size, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        out.append(buf.getvalue())
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=50,
+                    help="requests per client")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="engine max micro-batch")
+    ap.add_argument("--record", action="store_true",
+                    help="append to results/bench_serve.json")
+    args = ap.parse_args()
+
+    import bench
+    from wadt.engine.executor import Engine
+    from wadt.workloads.serve import InferenceServer
+
+    mod, spec, params = bench.build(args.family)
+    engine = Engine(args.family, spec, params, batch_size=args.batch)
+    engine.warmup()
+    server = InferenceServer(engine, host="127.0.0.1", port=0,
+                             max_wait_ms=2.0).start()
+    url = f"http://127.0.0.1:{server.port}/predict"
+    payloads = make_jpegs(16)
+
+    lat_lock = threading.Lock()
+    latencies: list = []
+    errors: list = []
+
+    def client(cid: int):
+        for i in range(args.requests):
+            body = payloads[(cid + i) % len(payloads)]
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "image/jpeg"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    json.loads(r.read())
+            except Exception as e:  # noqa: BLE001 — report, don't crash bench
+                with lat_lock:
+                    errors.append(str(e))
+                continue
+            dt = time.perf_counter() - t0
+            with lat_lock:
+                latencies.append(dt)
+
+    # warm the full wire (decode + first micro-batch shapes)
+    client(0)
+    with lat_lock:
+        latencies.clear()
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    n = len(latencies)
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    rps = n / wall
+    p50, p95, p99 = (float(np.percentile(lat, q)) for q in (50, 95, 99))
+    internal = server.batcher.latency_percentiles() or {}
+    server.stop()
+
+    print(f"[serve] {args.family}: {n} ok / {len(errors)} err over {wall:.2f}s "
+          f"with {args.clients} clients")
+    print(f"[serve] {rps:,.0f} req/s | client p50 {p50:.1f} ms, "
+          f"p95 {p95:.1f}, p99 {p99:.1f} | batcher-internal {internal}")
+    if errors:
+        print("[serve] first error:", errors[0])
+
+    if args.record:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "results", "bench_serve.json")
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        prev[args.family] = {
+            "requests_per_sec": round(rps, 1),
+            "clients": args.clients,
+            "client_p50_ms": round(p50, 2),
+            "client_p99_ms": round(p99, 2),
+            "batcher_internal": internal,
+        }
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=2)
+        print("recorded ->", path)
+    return 0 if not errors else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -144,24 +144,33 @@ def check_rtm_folded_stream_parity() -> bool:
         )
         data = np.load(os.path.join(FIXTURES, f"{name}.npz"))
         x = np.transpose(data["input"], (0, 2, 3, 1))  # NCHW f32 -> NHWC
-        pred = StreamPredictor("rtm", spec, params, trunk_kernel="folded",
-                               dtype=jnp.bfloat16)
-        assert pred._rtm_folded
         from wadt.models import rtm
 
-        lg = np.asarray(
-            rtm.apply_stream(pred.params, jnp.asarray(x, jnp.bfloat16), spec),
-            np.float32,
-        )
-        agree, drift = True, 0.0
-        for i, task in enumerate(spec.tasks.names):
-            want = data[f"logits/{task}"]
-            got = lg[:, i, : want.shape[1]]
-            agree &= bool((got.argmax(-1) == want.argmax(-1)).all())
-            drift = max(drift, float(np.abs(got - want).max()))
-        print(f"  [rtm-folded bf16] {name}: argmax {'ok' if agree else 'DIFF'} "
-              f"drift {drift:.4f}")
-        ok &= agree
+        for kernel in ("folded", "folded_q8"):
+            pred = StreamPredictor("rtm", spec, params, trunk_kernel=kernel,
+                                   dtype=jnp.bfloat16)
+            assert pred._rtm_folded
+            lg = np.asarray(
+                rtm.apply_stream(pred.params, jnp.asarray(x, jnp.bfloat16), spec),
+                np.float32,
+            )
+            agree, drift = True, 0.0
+            for i, task in enumerate(spec.tasks.names):
+                want = data[f"logits/{task}"]
+                got = lg[:, i, : want.shape[1]]
+                agree &= bool((got.argmax(-1) == want.argmax(-1)).all())
+                drift = max(drift, float(np.abs(got - want).max()))
+            print(f"  [rtm-{kernel} bf16] {name}: "
+                  f"argmax {'ok' if agree else 'DIFF'} drift {drift:.4f}")
+            if kernel == "folded_q8" and not agree:
+                # int8 fold is an approximation gated at RECORD time: losing
+                # parity here only blocks selecting it, not the release
+                from wadt.ops.kernel_select import winner
+
+                if winner("rtm_stream_folded", default="folded") != "folded_q8":
+                    print("    (not the recorded winner; informational)")
+                    continue
+            ok &= agree
     return ok
 
 

@@ -184,6 +184,46 @@ class Engine:
             z = np.zeros((self.batch_size, img_size, img_size, 3), np.uint8)
         jax.block_until_ready(self.step(z))
 
+    # -- pipelined micro-batch API (serving) -----------------------------
+
+    def dispatch(
+        self, images: np.ndarray, collect: Sequence[str] = ("probs", "preds")
+    ):
+        """Enqueue ONE micro-batch (<= batch_size uint8 frames, raw or
+        packed) and start copying its results to the host asynchronously.
+
+        Returns an opaque handle for :meth:`fetch`.  A serving loop keeps
+        several handles in flight so the fixed per-fetch result latency
+        (~250 ms over this rig's relay; PCIe/dispatch on real hardware)
+        overlaps across batches instead of serializing.
+        """
+        if self.pack_k is not None and images.shape[-1] == 3:
+            from ..ops.preprocess import s2d_pack_uint8
+
+            images = s2d_pack_uint8(images, self.pack_k)
+        n = images.shape[0]
+        if n > self.batch_size:
+            raise ValueError(f"micro-batch {n} > engine batch {self.batch_size}")
+        if n < self.batch_size:
+            images = np.concatenate(
+                [images,
+                 np.zeros((self.batch_size - n,) + images.shape[1:], images.dtype)]
+            )
+        res = self.step(images)
+        picked = {k: res[k] for k in collect}
+        for v in picked.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:  # non-Array backends/mocks
+                pass
+        return n, picked
+
+    def fetch(self, handle) -> Dict[str, np.ndarray]:
+        """Materialize a :meth:`dispatch` handle -> host arrays [n, ...]."""
+        take, res = handle
+        host = jax.device_get(res)
+        return {k: v[:take] for k, v in host.items()}
+
     # -- high-level ------------------------------------------------------
 
     def run(
@@ -195,10 +235,14 @@ class Engine:
     ) -> Dict[str, np.ndarray]:
         """Forward N images (any N) -> host dict of stacked arrays [N, ...].
 
-        Dispatch is double-buffered: batch i+1 is enqueued on the device
-        before batch i's results are fetched, so the chip never idles on the
-        tail D2H transfer (the reference synchronizes every batch).  Pads the
-        tail batch; per-batch wall-times returned under "times" when
+        Dispatch is pipelined: each batch's results start copying to the
+        host asynchronously the moment the step is enqueued
+        (``copy_to_host_async``), and up to 4 batches stay in flight before
+        the oldest is drained — so neither the chip nor the host link idles
+        on a tail D2H (the reference synchronizes every batch; on this rig
+        the D2H result path carries a ~250 ms fixed relay cost per
+        synchronous fetch, and pipelining measures 2.4x end-to-end).  Pads
+        the tail batch; per-batch wall-times returned under "times" when
         ``measure_time`` (parity with the reference's times_*.json telemetry
         — timing forces per-batch synchronization).
         """
@@ -262,11 +306,16 @@ class Engine:
                     )
             t0 = time.perf_counter()
             res = self.step(chunk, lab)
+            for k in fetch_keys:
+                try:
+                    res[k].copy_to_host_async()
+                except AttributeError:  # non-Array backends/mocks
+                    pass
             if measure_time:
                 jax.block_until_ready(res)
                 times.append(time.perf_counter() - t0)
             inflight.append((e - s, res))
-            if len(inflight) > 1:
+            if len(inflight) >= 4:
                 _drain_one()
         while inflight:
             _drain_one()

@@ -45,6 +45,23 @@ def engine(synth):
     return Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0)
 
 
+def test_engine_dispatch_fetch_matches_run(engine):
+    """The pipelined micro-batch API (dispatch + async host copy + fetch)
+    returns exactly what Engine.run does, including tail padding removal."""
+    imgs = np.random.RandomState(7).randint(0, 256, (3, 64, 64, 3), np.uint8)
+    want = engine.run(imgs, collect=("probs", "preds"))
+    h1 = engine.dispatch(imgs)
+    got = engine.fetch(h1)
+    np.testing.assert_array_equal(got["preds"], want["preds"])
+    np.testing.assert_allclose(got["probs"], want["probs"], atol=1e-6)
+    assert got["probs"].shape[0] == 3  # padding stripped
+    # several handles may be in flight at once
+    handles = [engine.dispatch(imgs[i : i + 1]) for i in range(3)]
+    for i, h in enumerate(handles):
+        out = engine.fetch(h)
+        np.testing.assert_array_equal(out["preds"][0], want["preds"][i])
+
+
 def test_evaluate_artifacts(synth, engine, tmp_path):
     from wadt.workloads.evaluate import evaluate
 

@@ -145,9 +145,29 @@ def head_apply(
     return _classify(params, emb), aux
 
 
+def pack_stem_weights(w7: jnp.ndarray) -> jnp.ndarray:
+    """ResNet stem conv [7,7,C,64] -> [4,4,4C,64] for k=2 space-to-depth
+    input (s2d_pack_uint8 channel order ky*2C + kx*C + c).
+
+    Exact: pad the kernel to 8x8 with a zero top-left row/col, so the
+    7-tap stride-2 window starting at odd offset 2o-3 becomes an 8-tap
+    window at even offset 2o-4 = packed taps o-2..o+1, stride 1, pad (2,1).
+    Kills XLA's batch=1 stem layout copies: 113 -> 59 us for the full
+    conv+bn+relu+maxpool stem on a v5e (tools/exp_rtm_stem_s2d.py).
+    """
+    kh, kw, cin, cout = w7.shape
+    assert (kh, kw) == (7, 7), "ResNet stem conv expected"
+    w8 = jnp.zeros((8, 8, cin, cout), w7.dtype).at[1:, 1:].set(w7)
+    return (
+        w8.reshape(4, 2, 4, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * cin, cout)
+    )
+
+
 def fold_stream_weights(
     params: Dict[str, Any], spec: Spec, dtype=jnp.float32,
-    quantize_fold: bool = False,
+    quantize_fold: bool = False, pack_stem: bool = True,
 ) -> Dict[str, Any]:
     """Derived weights for the batch=1 streaming fast path.
 
@@ -208,6 +228,10 @@ def fold_stream_weights(
         out["attn_fold_scale"] = scale.astype(dtype)
     else:
         out["attn_fold"] = fold.astype(dtype)
+    if pack_stem:
+        out["stem_w"] = pack_stem_weights(
+            params["backbone"]["conv1"]["w"]
+        ).astype(dtype)
     return out
 
 
@@ -218,12 +242,36 @@ def apply_stream(
 
     Same math as :func:`apply` with the attention head's three stacked
     weight contractions collapsed to one (see fold_stream_weights).
+
+    When the fold carries packed stem weights (``pack_stem``), ``x`` may be
+    either NHWC (packed on device — the parity-test path) or already
+    k=2 space-to-depth packed ``[B, H/2, W/2, 12]`` (the streaming path:
+    the host packs the uint8 frame with the native C kernel and the device
+    normalizes the packed layout directly).
     """
     import math
 
-    feats = resnet.apply_truncated(
-        folded["backbone"], x, spec.truncate_after_layer
-    )
+    if "stem_w" in folded:
+        if x.shape[-1] == 3:  # NHWC -> packed on device (tests/parity)
+            b, h, w_, c = x.shape
+            x = (
+                x.reshape(b, h // 2, 2, w_ // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w_ // 2, 4 * c)
+            )
+        a = jax.lax.conv_general_dilated(
+            x.astype(folded["stem_w"].dtype), folded["stem_w"], (1, 1),
+            [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        feats = resnet.apply_truncated_from_stem(
+            folded["backbone"], a, spec.truncate_after_layer
+        )
+    else:
+        feats = resnet.apply_truncated(
+            folded["backbone"], x, spec.truncate_after_layer
+        )
     b, h, w, c = feats.shape
     tokens = feats.reshape(b, h * w, c)
     scores = jnp.einsum(

@@ -115,14 +115,19 @@ class StreamPredictor:
 
         elif self._rtm_folded:
             from ..models import rtm
+            from ..ops.preprocess import normalize_uint8_packed
 
             folded = rtm.fold_stream_weights(
                 params, spec, dtype=dtype, quantize_fold=self._rtm_fold_q8
             )
+            # the stem runs on k=2 space-to-depth input (exact; kills XLA's
+            # batch=1 stem layout copies) — the host packs each uint8 frame
+            # with the native C kernel, like the PMG packed wire format
+            self._pack_k = 2
 
             @jax.jit
-            def step(folded, frame_u8, kstate):
-                x = normalize_uint8(frame_u8[None], dtype)
+            def step(folded, packed_u8, kstate):
+                x = normalize_uint8_packed(packed_u8, 2, dtype)
                 logits = rtm.apply_stream(folded, x, spec)
                 probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
                 kstate, smoothed = kalman.filter_update(kstate, probs)

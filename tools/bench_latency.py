@@ -71,6 +71,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persist compiled executables: a cold A/B sweep is ~10 distinct programs
+    # x ~40 s through the remote-compile service (see CLAUDE.md)
+    cache_dir = os.environ.get(
+        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
+    )
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="store the fused-vs-packed streaming winner in "
@@ -112,9 +122,12 @@ def main():
         for variant in variants:
             pred = StreamPredictor(args.family, spec, params, use_kalman=True,
                                    trunk_kernel=variant, dtype=dtype)
+            inp = frame
+            if pred._pack_k is not None:  # host-packed wire (RTM stem s2d)
+                inp = jax.device_put(s2d_pack_uint8(raw[None], pred._pack_k))
             t, top = device_time_ms(
                 lambda p, z, k: pred._step(p, z, k),
-                pred.params, frame, pred.kstate, iters=20,
+                pred.params, inp, pred.kstate, iters=20,
             )
             results[variant] = t * 1e3
             print(f"streaming step [{args.family} {variant:7s}]: {t*1e3:6.1f} "

@@ -7,7 +7,7 @@ a host-packed [112,112,12] image (pad the kernel to 8x8 with a zero
 top-left row/col; exact math):
 
     y[o] = sum_{k=0..6} w7[k] x[2o-3+k]  ==  sum_{k'=0..7} w8[k'] x[2o-4+k']
-    with w8[0]=0, w8[1:]=w7 -> packed taps p = o-2..o+1, stride 1, pad 2.
+    with w8[0]=0, w8[1:]=w7 -> packed taps p = o-2..o+1, stride 1, pad (2, 1).
 
 Measures the full stem (normalize -> conv -> scale/bias relu -> 3x3 s2
 maxpool) both ways from uint8 input, with the device time from profiler
@@ -75,7 +75,7 @@ def main():
         x = normalize_uint8_packed(packed, 2, jnp.bfloat16)
         x = x + salt.astype(jnp.bfloat16)
         y = jax.lax.conv_general_dilated(
-            x, w, (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn)
+            x, w, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn)
         y = jnp.maximum(y * gamma + beta, 0.0)
         y = jax.lax.reduce_window(
             y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -91,7 +91,7 @@ def main():
     def full_packed(packed):
         x = normalize_uint8_packed(packed, 2, jnp.float32)
         return jax.lax.conv_general_dilated(
-            x, jnp.asarray(wp), (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn)
+            x, jnp.asarray(wp), (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn)
 
     a = np.asarray(full_generic(jnp.asarray(u8)))
     b = np.asarray(full_packed(jnp.asarray(u8p)))

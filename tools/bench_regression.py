@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Perf regression gate (SURVEY.md section 7 step 7).
 
-Re-measures every config in ``results/bench_floor.json`` with bench.py's
-chained device-loop protocol and exits non-zero when any config lands more
-than the recorded tolerance below its floor.  Skips cleanly (exit 0) when no
+Re-measures every throughput config in ``results/bench_floor.json`` with
+bench.py's chained device-loop protocol, plus every per-frame streaming
+floor (``stream_floor_us``: the auto-selected StreamPredictor step, timed
+from on-device trace timestamps), and exits non-zero when any lands more
+than the recorded tolerance past its floor.  Skips cleanly (exit 0) when no
 TPU is attached — the floors are single-v5e-chip numbers and CPU runs would
 always "regress".
 
@@ -23,6 +25,33 @@ sys.path.insert(0, REPO)
 FLOOR_PATH = os.path.join(REPO, "results", "bench_floor.json")
 
 
+def _measure_stream_us(family: str) -> float:
+    """Device time of the auto-selected per-frame streaming step (same
+    protocol as tools/bench_latency.py: on-device trace timestamps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from wadt.ops.preprocess import s2d_pack_uint8
+    from wadt.utils.devtime import device_time_ms
+    from wadt.workloads.stream import StreamPredictor
+
+    mod, spec, params = bench.build(family)
+    del mod
+    dtype = jnp.bfloat16 if family == "rtm" else jnp.float32
+    pred = StreamPredictor(family, spec, params, use_kalman=True, dtype=dtype)
+    raw = np.random.RandomState(0).randint(0, 256, (224, 224, 3), np.uint8)
+    inp = jax.device_put(raw)
+    if pred._pack_k is not None:
+        inp = jax.device_put(s2d_pack_uint8(raw[None], pred._pack_k))
+    t, _ = device_time_ms(
+        lambda p, z, k: pred._step(p, z, k),
+        pred.params, inp, pred.kstate, iters=20,
+    )
+    return t * 1e3
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true",
@@ -32,6 +61,14 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    cache_dir = os.environ.get(
+        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
+    )
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     kinds = {d.platform.lower() for d in jax.devices()}
     if not kinds & {"tpu", "axon"}:
@@ -62,8 +99,23 @@ def main() -> int:
         if ratio < 1.0 - tol:
             failures.append(cfg)
 
+    stream_floors = spec.get("stream_floor_us", {})
+    stream_measured = {}
+    for family, floor_us in stream_floors.items():
+        if args.only and args.only != f"{family}_stream":
+            continue
+        us = _measure_stream_us(family)
+        stream_measured[family] = round(us, 1)
+        ratio = us / floor_us
+        verdict = "OK" if ratio <= 1.0 + tol else "REGRESSION"
+        print(f"[bench_regression] {family + '_stream':10s}: {us:8.1f} us/frame  "
+              f"floor {floor_us:8.1f}  ({ratio:6.1%}) {verdict}")
+        if ratio > 1.0 + tol:
+            failures.append(f"{family}_stream")
+
     if args.update:
         spec["floors"].update(measured)
+        spec.setdefault("stream_floor_us", {}).update(stream_measured)
         with open(FLOOR_PATH, "w") as f:
             json.dump(spec, f, indent=2)
         print(f"[bench_regression] floors updated -> {FLOOR_PATH}")

@@ -159,16 +159,26 @@ class StreamPredictor:
     def reset(self):
         self.kstate = kalman.init_state(len(self.tasks), self.tasks.max_classes)
 
-    def __call__(self, frame_u8: np.ndarray) -> np.ndarray:
-        """frame_u8: [H,W,3] uint8 (224px) -> per-task probs [T, Kmax]."""
+    def submit(self, frame_u8: np.ndarray):
+        """Enqueue one frame; returns the in-flight device probs [T, Kmax]
+        with its host copy already started.  ``np.asarray`` (or
+        :meth:`__call__`) materializes it.  A camera loop submits frame i+1
+        before materializing frame i so preprocessing and display overlap
+        the device step + result transfer (depth-1 pipelining)."""
         if self._pack_k is not None:
             from ..ops.preprocess import s2d_pack_uint8
 
             frame_u8 = s2d_pack_uint8(frame_u8[None], self._pack_k)
-            probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
-        else:
-            probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
-        return np.asarray(probs)
+        probs, self.kstate = self._step(self.params, frame_u8, self.kstate)
+        try:
+            probs.copy_to_host_async()
+        except AttributeError:  # non-Array backends/mocks
+            pass
+        return probs
+
+    def __call__(self, frame_u8: np.ndarray) -> np.ndarray:
+        """frame_u8: [H,W,3] uint8 (224px) -> per-task probs [T, Kmax]."""
+        return np.asarray(self.submit(frame_u8))
 
     def labels(self, probs: np.ndarray, prob_threshold: float):
         """[(task, label, prob)] with threshold->"Unknown" semantics
@@ -255,27 +265,15 @@ def run_camera(
     writer = None
     fullscreen = False
     times = []
-    n = 0
-    for frame in frames_from_capture(cap):
-        t0 = time.time()
-        # Aspect-preserving Resize(256)+CenterCrop(224), matching the
-        # reference's camera transform (test_PMG.py:206, build_default_transform)
-        # — NOT a distorting direct resize.
-        h0, w0 = frame.shape[:2]
-        scale = 256.0 / min(h0, w0)
-        rs = cv2.resize(frame, (int(round(w0 * scale)), int(round(h0 * scale))),
-                        interpolation=cv2.INTER_LINEAR)
-        top = int(round((rs.shape[0] - 224) / 2.0))
-        left = int(round((rs.shape[1] - 224) / 2.0))
-        crop = rs[top : top + 224, left : left + 224]
-        rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
-        probs = predictor(rgb)
-        times.append(time.time() - t0)
+    quit_requested = False
+
+    def present(frame, probs) -> None:
+        """Annotate + record + display one frame with ITS OWN predictions."""
+        nonlocal writer, recording, fullscreen, quit_requested
         lines = [
             f"{t}: {label} ({p:.2f})"
             for t, label, p in predictor.labels(probs, prob_threshold)
         ]
-
         overlay = frame.copy()
         cv2.rectangle(overlay, (0, box_top), (box_right, box_bottom),
                       (255, 255, 255), thickness=-1)
@@ -298,7 +296,7 @@ def run_camera(
             cv2.imshow("Camera", frame)
             key = cv2.waitKey(1) & 0xFF
             if key == ord("q"):
-                break
+                quit_requested = True
             if key == ord("r"):
                 recording = not recording
                 if not recording and writer is not None:
@@ -310,9 +308,41 @@ def run_camera(
                     "Camera", cv2.WND_PROP_FULLSCREEN,
                     cv2.WINDOW_FULLSCREEN if fullscreen else cv2.WINDOW_NORMAL,
                 )
-        n += 1
-        if max_frames is not None and n >= max_frames:
+
+    # Depth-1 pipelined loop: frame i+1's capture + preprocess overlap
+    # frame i's device step + result transfer (the stream never blocks on
+    # dispatch); each frame is still shown with its OWN predictions, one
+    # capture interval later.
+    pending = None  # (original frame, in-flight probs, submit time)
+    captured = 0
+    for frame in frames_from_capture(cap):
+        t0 = time.time()
+        # Aspect-preserving Resize(256)+CenterCrop(224), matching the
+        # reference's camera transform (test_PMG.py:206,
+        # build_default_transform) - NOT a distorting direct resize.
+        h0, w0 = frame.shape[:2]
+        scale = 256.0 / min(h0, w0)
+        rs = cv2.resize(frame, (int(round(w0 * scale)), int(round(h0 * scale))),
+                        interpolation=cv2.INTER_LINEAR)
+        top = int(round((rs.shape[0] - 224) / 2.0))
+        left = int(round((rs.shape[1] - 224) / 2.0))
+        crop = rs[top : top + 224, left : left + 224]
+        rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
+        handle = predictor.submit(rgb)
+        if pending is not None:
+            pframe, ph, pt0 = pending
+            probs = np.asarray(ph)
+            times.append(time.time() - pt0)
+            present(pframe, probs)
+        pending = (frame, handle, t0)
+        captured += 1
+        if quit_requested or (max_frames is not None and captured >= max_frames):
             break
+    if pending is not None and not quit_requested:
+        pframe, ph, pt0 = pending
+        probs = np.asarray(ph)
+        times.append(time.time() - pt0)
+        present(pframe, probs)
 
     cap.release()
     if writer is not None:

@@ -187,7 +187,10 @@ class Engine:
     # -- pipelined micro-batch API (serving) -----------------------------
 
     def dispatch(
-        self, images: np.ndarray, collect: Sequence[str] = ("probs", "preds")
+        self,
+        images: np.ndarray,
+        labels: Optional[np.ndarray] = None,
+        collect: Sequence[str] = ("probs", "preds"),
     ):
         """Enqueue ONE micro-batch (<= batch_size uint8 frames, raw or
         packed) and start copying its results to the host asynchronously.
@@ -205,12 +208,20 @@ class Engine:
         if n > self.batch_size:
             raise ValueError(f"micro-batch {n} > engine batch {self.batch_size}")
         if n < self.batch_size:
+            pad = self.batch_size - n
             images = np.concatenate(
-                [images,
-                 np.zeros((self.batch_size - n,) + images.shape[1:], images.dtype)]
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
             )
-        res = self.step(images)
-        picked = {k: res[k] for k in collect}
+            if labels is not None:
+                labels = np.concatenate(
+                    [labels,
+                     np.full((pad, labels.shape[1]), IGNORE_INDEX, labels.dtype)]
+                )
+        res = self.step(images, labels)
+        keys = set(collect)
+        if labels is not None:
+            keys |= {"loss_per_task", "count_per_task"}
+        picked = {k: res[k] for k in keys}
         for v in picked.values():
             try:
                 v.copy_to_host_async()
@@ -219,10 +230,14 @@ class Engine:
         return n, picked
 
     def fetch(self, handle) -> Dict[str, np.ndarray]:
-        """Materialize a :meth:`dispatch` handle -> host arrays [n, ...]."""
+        """Materialize a :meth:`dispatch` handle -> host arrays [n, ...]
+        (per-task aggregates like loss_per_task stay unsliced)."""
         take, res = handle
         host = jax.device_get(res)
-        return {k: v[:take] for k, v in host.items()}
+        unbatched = {"loss_per_task", "count_per_task"}
+        return {
+            k: (v if k in unbatched else v[:take]) for k, v in host.items()
+        }
 
     # -- high-level ------------------------------------------------------
 

@@ -168,11 +168,11 @@ def build_engine(args) -> "Any":
         enable_parity_precision()
 
     if args.compilation_cache:
-        cache_dir = os.path.expanduser(args.compilation_cache)
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache every jitted step (the default 1s floor would skip small ones).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from .config import enable_persistent_compilation_cache
+
+        cache_dir = enable_persistent_compilation_cache(
+            os.path.expanduser(args.compilation_cache)
+        )
         print(f"XLA compilation cache: {cache_dir}")
 
     tasks = load_tasks(args.build_classifier)
@@ -498,6 +498,7 @@ def _run_style_transfer(args, engine, ds):
             engine.params, engine.spec, x,
             num_iterations=args.style_iterations, lr=args.lr,
             init_type=args.init_type, target_loss=args.target_loss,
+            seed_offset=lo,  # noise init keyed on each image's global index
         )
         for path, gen, loss, its in zip(batch_paths, gens, losses, iters):
             base = os.path.splitext(os.path.basename(path))[0]

@@ -48,6 +48,26 @@ def enable_parity_precision() -> None:
     jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def enable_persistent_compilation_cache(path: Optional[str] = None) -> str:
+    """Persist compiled XLA executables across processes.
+
+    On this rig every distinct program costs ~25-40 s through the
+    remote-compile service; the cache (which works through the axon relay)
+    cuts reruns of the bench/checklist tools to minutes.  ``path`` defaults
+    to $WADT_XLA_CACHE or ~/.cache/wadt/xla_cache.  Returns the directory.
+    """
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every jitted step (the default 1s floor would skip small ones)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return cache_dir
+
+
 def load_tasks(path: str) -> Dict[str, List[str]]:
     """Load the task registry ``{task: [class, ...]}`` from JSON."""
     with open(path, "r") as f:

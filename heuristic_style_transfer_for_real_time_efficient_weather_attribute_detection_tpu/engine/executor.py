@@ -186,6 +186,36 @@ class Engine:
 
     # -- pipelined micro-batch API (serving) -----------------------------
 
+    def _validate_and_pack(self, images: np.ndarray) -> np.ndarray:
+        """Shared run/dispatch input contract: uint8 NHWC (device-side
+        normalize), raw [N,H,W,3] packed here when the engine uses the
+        packed wire format, or already-packed channels."""
+        if images.ndim != 4:
+            raise ValueError(f"expected uint8 NHWC images, got {images.shape}")
+        if images.dtype != np.uint8:
+            raise ValueError(
+                f"Engine expects uint8 images (device-side normalize); "
+                f"got {images.dtype} — use ops.preprocess.load_image_uint8"
+            )
+        if self.pack_k is not None:
+            expect_c = self.pack_k * self.pack_k * 3
+            if images.shape[-1] == 3:
+                # raw frames: pack here (the BatchLoader's pack_k does this
+                # off-thread in the prefetch workers for the loader paths)
+                from ..ops.preprocess import s2d_pack_uint8
+
+                images = s2d_pack_uint8(images, self.pack_k)
+            elif images.shape[-1] != expect_c:
+                raise ValueError(
+                    f"packed engine expects [N,H/{self.pack_k},W/{self.pack_k},"
+                    f"{expect_c}] or raw [N,H,W,3]; got {images.shape}"
+                )
+        elif images.shape[-1] != 3:
+            raise ValueError(
+                f"expected uint8 NHWC images [N,H,W,3], got {images.shape}"
+            )
+        return images
+
     def dispatch(
         self,
         images: np.ndarray,
@@ -200,10 +230,7 @@ class Engine:
         (~250 ms over this rig's relay; PCIe/dispatch on real hardware)
         overlaps across batches instead of serializing.
         """
-        if self.pack_k is not None and images.shape[-1] == 3:
-            from ..ops.preprocess import s2d_pack_uint8
-
-            images = s2d_pack_uint8(images, self.pack_k)
+        images = self._validate_and_pack(images)
         n = images.shape[0]
         if n > self.batch_size:
             raise ValueError(f"micro-batch {n} > engine batch {self.batch_size}")
@@ -261,30 +288,7 @@ class Engine:
         ``measure_time`` (parity with the reference's times_*.json telemetry
         — timing forces per-batch synchronization).
         """
-        if images.ndim != 4:
-            raise ValueError(f"expected uint8 NHWC images, got {images.shape}")
-        if images.dtype != np.uint8:
-            raise ValueError(
-                f"Engine.run expects uint8 images (device-side normalize); "
-                f"got {images.dtype} — use ops.preprocess.load_image_uint8"
-            )
-        if self.pack_k is not None:
-            expect_c = self.pack_k * self.pack_k * 3
-            if images.shape[-1] == 3:
-                # raw frames: pack here (the BatchLoader's pack_k does this
-                # off-thread in the prefetch workers for the loader paths)
-                from ..ops.preprocess import s2d_pack_uint8
-
-                images = s2d_pack_uint8(images, self.pack_k)
-            elif images.shape[-1] != expect_c:
-                raise ValueError(
-                    f"packed engine expects [N,H/{self.pack_k},W/{self.pack_k},"
-                    f"{expect_c}] or raw [N,H,W,3]; got {images.shape}"
-                )
-        elif images.shape[-1] != 3:
-            raise ValueError(
-                f"expected uint8 NHWC images [N,H,W,3], got {images.shape}"
-            )
+        images = self._validate_and_pack(images)
         n = images.shape[0]
         bs = self.batch_size
         outs: Dict[str, List[np.ndarray]] = {k: [] for k in collect}

@@ -207,8 +207,11 @@ def make_train_step(
 
     ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 against
     f32 master weights (the cast sits inside loss_fn, so gradients come back
-    f32 and AdamW/BN-running-stat state stays full precision) — the standard
-    TPU mixed-precision regime; loss itself is always reduced in f32.
+    f32 and AdamW state stays full precision) — the standard TPU
+    mixed-precision regime; loss is always reduced in f32, and in
+    batch-stat BN mode the running statistics skip the cast so their
+    exponential update also runs in f32 (batch stats themselves come from
+    the bf16 activations).
     """
     mod = get_family(family)
     mask = jnp.asarray(class_mask(spec.tasks))
@@ -224,6 +227,24 @@ def make_train_step(
     drop_key = jax.random.PRNGKey(dropout_seed)
 
     cdt = compute_dtype
+    # In batch-stat train mode the forward never READS the running stats (it
+    # uses batch statistics), so they can stay f32 through the cast — their
+    # exponential update (1-m)*stat + m*batch_stat then runs in f32 instead
+    # of rounding away momentum-0.1 increments below bf16's ~2^-8
+    # resolution.  In frozen-stats mode the stats feed the forward, so they
+    # cast with everything else (keeping them f32 would promote every
+    # post-BN activation back to f32).
+    _stats_update_mode = bn_train and _family_trains_bn(family, spec)
+
+    def _cast_compute(params):
+        keep = _STATS_KEYS if _stats_update_mode else set()
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: x
+            if (set(_path_names(path)) & keep)
+            or not jnp.issubdtype(x.dtype, jnp.floating)
+            else x.astype(cdt),
+            params,
+        )
 
     def loss_fn(params, images, labels, step_idx):
         import contextlib
@@ -232,7 +253,7 @@ def make_train_step(
 
         mixed = cdt is not None and cdt != jnp.float32
         if mixed:
-            params = nn_ops.cast_tree(params, cdt)
+            params = _cast_compute(params)
             images = images.astype(cdt)
         # Mixed precision clears the convs' f32 output pinning: jax 0.9's
         # conv transpose rule cannot take an f32 cotangent against bf16

@@ -86,13 +86,18 @@ def evaluate(
         """Dispatch batches with up to 3 in flight; yield results in order.
         engine.dispatch starts each result's device->host copy at enqueue
         time, so the fixed per-fetch latency overlaps across batches instead
-        of serializing the eval loop (see Engine.run docstring)."""
+        of serializing the eval loop (see Engine.run docstring).  Loader
+        batches larger than the engine batch are split into micro-batches
+        (matching Engine.run's chunking)."""
         bidx = -1
+        bs = engine.batch_size
         for imgs, labs, _paths in loader:
-            bidx += 1
-            inflight.append((imgs, labs, bidx, engine.dispatch(imgs, labs)))
-            if len(inflight) >= 3:
-                yield _resolve()
+            for s in range(0, imgs.shape[0], bs):
+                bidx += 1
+                ci, cl = imgs[s : s + bs], labs[s : s + bs]
+                inflight.append((ci, cl, bidx, engine.dispatch(ci, cl)))
+                if len(inflight) >= 3:
+                    yield _resolve()
         while inflight:
             yield _resolve()
 

@@ -110,10 +110,13 @@ class InferenceServer:
                  prob_threshold: float = 0.5, max_wait_ms: float = 2.0):
         self.batcher = AsyncBatcher(engine, max_wait_ms=max_wait_ms)
         handler = make_handler(engine, self.batcher, prob_threshold)
-        # stdlib default backlog of 5 drops bursts (connection reset when
-        # >5 clients connect while the accept loop is busy)
-        ThreadingHTTPServer.request_queue_size = 128
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+
+        class _Server(ThreadingHTTPServer):
+            # stdlib default backlog of 5 drops bursts (connection reset
+            # when >5 clients connect while the accept loop is busy)
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

@@ -20,7 +20,7 @@ import json
 import os
 import sys
 import time
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -196,15 +196,6 @@ class StreamPredictor:
         return out
 
 
-def frames_from_capture(cap) -> Iterator[np.ndarray]:
-    """BGR frames from a cv2.VideoCapture until read failure."""
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        yield frame
-
-
 def run_camera(
     family: str,
     spec,
@@ -312,10 +303,17 @@ def run_camera(
     # Depth-1 pipelined loop: frame i+1's capture + preprocess overlap
     # frame i's device step + result transfer (the stream never blocks on
     # dispatch); each frame is still shown with its OWN predictions, one
-    # capture interval later.
+    # capture interval later.  Per-frame telemetry subtracts the NEXT
+    # frame's capture+preprocess span, so times_camera.json records each
+    # frame's own preprocess + residual device wait (not the camera frame
+    # interval the pipelining hides it behind).
     pending = None  # (original frame, in-flight probs, submit time)
     captured = 0
-    for frame in frames_from_capture(cap):
+    while True:
+        t_cap0 = time.time()
+        ret, frame = cap.read()
+        if not ret:
+            break
         t0 = time.time()
         # Aspect-preserving Resize(256)+CenterCrop(224), matching the
         # reference's camera transform (test_PMG.py:206,
@@ -329,10 +327,11 @@ def run_camera(
         crop = rs[top : top + 224, left : left + 224]
         rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
         handle = predictor.submit(rgb)
+        t_sub = time.time()
         if pending is not None:
             pframe, ph, pt0 = pending
             probs = np.asarray(ph)
-            times.append(time.time() - pt0)
+            times.append(max(time.time() - pt0 - (t_sub - t_cap0), 0.0))
             present(pframe, probs)
         pending = (frame, handle, t0)
         captured += 1

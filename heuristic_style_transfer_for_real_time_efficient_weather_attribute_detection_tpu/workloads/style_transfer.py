@@ -52,6 +52,7 @@ def run_patch_gram_style_transfer_batch(
     target_loss: float = 1e-3,
     seed: int = 0,
     log_every: int = 50,
+    seed_offset: int = 0,
 ) -> Tuple[list, np.ndarray, np.ndarray]:
     """Optimize one generated image per style image, all in ONE device loop.
 
@@ -70,7 +71,15 @@ def run_patch_gram_style_transfer_batch(
     batch = style.shape[0]
 
     if init_type == "noise":
-        gen = jax.random.uniform(jax.random.PRNGKey(seed), style.shape, jnp.float32)
+        # one key per image, folded on its GLOBAL index (seed_offset + i):
+        # the same image gets the same noise whether it runs solo, in a
+        # different chunk, or at a different position within the batch
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        )(jnp.arange(seed_offset, seed_offset + batch))
+        gen = jax.vmap(
+            lambda k: jax.random.uniform(k, style.shape[1:], jnp.float32)
+        )(keys)
     else:
         gen = jnp.full(style.shape, 0.5, jnp.float32)
 
@@ -145,13 +154,17 @@ def run_patch_gram_style_transfer(
     target_loss: float = 1e-3,
     seed: int = 0,
     log_every: int = 50,
+    seed_offset: int = 0,
 ) -> Tuple[Image.Image, float, int]:
     """Optimize a generated image to match the style image's patch-Gram
-    signature.  Returns (PIL image, final_loss, iterations_run)."""
+    signature.  Returns (PIL image, final_loss, iterations_run).
+    ``seed_offset`` reproduces a specific image's noise init from a batched
+    run (its global index there)."""
     images, losses, iters = run_patch_gram_style_transfer_batch(
         params, spec, np.asarray(style_img_norm)[:1],
         num_iterations=num_iterations, lr=lr, init_type=init_type,
         target_loss=target_loss, seed=seed, log_every=log_every,
+        seed_offset=seed_offset,
     )
     return images[0], float(losses[0]), int(iters[0])
 

@@ -10,8 +10,10 @@ Default (--family pmg, the flagship) reports:
   round-trip — on this rig dominated by the network relay, on real hardware
   by PCIe + dispatch).
 
---family pm / rtm measures the generic streaming step for those families
-(they have no packed wire format — overlapping convs).
+--family pm measures the generic streaming step (overlapping convs — no
+packed wire format); --family rtm A/Bs generic vs the folded-attention
+variants (exact fold and weight-only-int8 fold, both on the s2d-packed
+stem wire).
 
 --record stores the fused-vs-packed winner in results/kernel_ab.json
 ("fused_trunk_gram"), which StreamPredictor(trunk_kernel="auto") consults.
@@ -32,39 +34,15 @@ INNER = 200
 
 def _rtm_q8_parity_ok(spec, dtype) -> bool:
     """Quantized-fold eligibility: argmax must match the frozen reference
-    logits on every attention RTM golden fixture (same gate
-    tools/tpu_checklist.py applies to the recorded winner)."""
-    import glob as _glob
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from wadt.engine import checkpoint
-    from wadt.models import rtm
+    logits on every attention RTM golden fixture (the same walk
+    tools/tpu_checklist.py applies at release check time)."""
+    from wadt.utils.goldens import rtm_stream_fixture_parity
 
     del spec  # gate runs over the fixtures' own specs
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "fixtures")
-    ok = True
-    for jf in sorted(_glob.glob(os.path.join(fixtures, "rtm_*.json"))):
-        name = os.path.splitext(os.path.basename(jf))[0]
-        meta = json.load(open(jf))
-        fspec = rtm.build_spec(meta["tasks"], meta["hparams"])
-        if not fspec.use_attention:
-            continue
-        params = checkpoint.load_torch_checkpoint(
-            "rtm", os.path.join(fixtures, f"{name}.pth"), fspec)
-        data = np.load(os.path.join(fixtures, f"{name}.npz"))
-        x = np.transpose(data["input"], (0, 2, 3, 1))
-        folded = rtm.fold_stream_weights(params, fspec, dtype=dtype,
-                                         quantize_fold=True)
-        lg = np.asarray(rtm.apply_stream(folded, jnp.asarray(x, dtype), fspec),
-                        np.float32)
-        for i, task in enumerate(fspec.tasks.names):
-            want = data[f"logits/{task}"]
-            got = lg[:, i, : want.shape[1]]
-            ok &= bool((got.argmax(-1) == want.argmax(-1)).all())
-    return ok
+    rows = rtm_stream_fixture_parity(fixtures, dtype, quantize_fold=True)
+    return all(agree for _, agree, _ in rows)
 
 
 def main():
@@ -73,13 +51,9 @@ def main():
 
     # persist compiled executables: a cold A/B sweep is ~10 distinct programs
     # x ~40 s through the remote-compile service (see CLAUDE.md)
-    cache_dir = os.environ.get(
-        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
-    )
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from wadt.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
@@ -146,9 +120,7 @@ def main():
                           key=results.get)
             kernel_select.record(
                 "rtm_stream_folded", win,
-                results["generic"], min(results["folded"],
-                                        results.get("folded_q8", np.inf)),
-                "batch1 224px defaults",
+                results["generic"], results[win], "batch1 224px defaults",
             )
             print(f"recorded rtm_stream_folded winner={win} -> "
                   f"{kernel_select.RECORD_PATH}")

@@ -62,13 +62,9 @@ def main() -> int:
 
     import jax
 
-    cache_dir = os.environ.get(
-        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
-    )
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from wadt.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     kinds = {d.platform.lower() for d in jax.devices()}
     if not kinds & {"tpu", "axon"}:

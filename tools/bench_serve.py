@@ -99,11 +99,16 @@ def main():
     wall = time.perf_counter() - t0
 
     n = len(latencies)
+    internal = server.batcher.latency_percentiles() or {}
+    server.stop()
+    if n == 0:
+        print(f"[serve] {args.family}: ALL {len(errors)} requests failed")
+        if errors:
+            print("[serve] first error:", errors[0])
+        return 1
     lat = np.sort(np.asarray(latencies)) * 1e3
     rps = n / wall
     p50, p95, p99 = (float(np.percentile(lat, q)) for q in (50, 95, 99))
-    internal = server.batcher.latency_percentiles() or {}
-    server.stop()
 
     print(f"[serve] {args.family}: {n} ok / {len(errors)} err over {wall:.2f}s "
           f"with {args.clients} clients")

@@ -121,45 +121,23 @@ def check_packed_stream_parity() -> bool:
 
 
 def check_rtm_folded_stream_parity() -> bool:
-    """The RTM folded streaming path (bf16 derived weights) must preserve the
-    argmax on the RTM golden fixtures vs the frozen reference logits."""
-    import numpy as np
+    """The RTM folded streaming paths (bf16 derived weights, exact fold and
+    weight-only-int8 fold) must preserve the argmax on the RTM golden
+    fixtures vs the frozen reference logits (shared walk:
+    wadt.utils.goldens.rtm_stream_fixture_parity — the same one
+    bench_latency --record gates selection on)."""
     import jax.numpy as jnp
 
     import wadt  # noqa: F401
-    from wadt.engine import checkpoint
-    from wadt.models import get_family
-    from wadt.workloads.stream import StreamPredictor
+    from wadt.utils.goldens import rtm_stream_fixture_parity
 
     ok = True
-    for jf in sorted(glob.glob(os.path.join(FIXTURES, "rtm_*.json"))):
-        name = os.path.splitext(os.path.basename(jf))[0]
-        meta = json.load(open(jf))
-        mod = get_family("rtm")
-        spec = mod.build_spec(meta["tasks"], meta["hparams"])
-        if not spec.use_attention:
-            continue
-        params = checkpoint.load_torch_checkpoint(
-            "rtm", os.path.join(FIXTURES, f"{name}.pth"), spec
-        )
-        data = np.load(os.path.join(FIXTURES, f"{name}.npz"))
-        x = np.transpose(data["input"], (0, 2, 3, 1))  # NCHW f32 -> NHWC
-        from wadt.models import rtm
-
-        for kernel in ("folded", "folded_q8"):
-            pred = StreamPredictor("rtm", spec, params, trunk_kernel=kernel,
-                                   dtype=jnp.bfloat16)
-            assert pred._rtm_folded
-            lg = np.asarray(
-                rtm.apply_stream(pred.params, jnp.asarray(x, jnp.bfloat16), spec),
-                np.float32,
-            )
-            agree, drift = True, 0.0
-            for i, task in enumerate(spec.tasks.names):
-                want = data[f"logits/{task}"]
-                got = lg[:, i, : want.shape[1]]
-                agree &= bool((got.argmax(-1) == want.argmax(-1)).all())
-                drift = max(drift, float(np.abs(got - want).max()))
+    for kernel, fold_kwargs in (
+        ("folded", {}),
+        ("folded_q8", {"quantize_fold": True}),
+    ):
+        rows = rtm_stream_fixture_parity(FIXTURES, jnp.bfloat16, **fold_kwargs)
+        for name, agree, drift in rows:
             print(f"  [rtm-{kernel} bf16] {name}: "
                   f"argmax {'ok' if agree else 'DIFF'} drift {drift:.4f}")
             if kernel == "folded_q8" and not agree:
@@ -221,13 +199,9 @@ def main() -> int:
 
     # ~17 distinct programs compile over the remote-compile service (~25s
     # each on this rig); persist the executables so reruns take ~2 min.
-    cache_dir = os.environ.get(
-        "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
-    )
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from wadt.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     kinds = {d.platform.lower() for d in jax.devices()}
     if not kinds & {"tpu", "axon"}:

@@ -45,6 +45,31 @@ def engine(synth):
     return Engine("pmg", spec, params, batch_size=4, prob_threshold=0.0)
 
 
+def test_engine_dispatch_validates_input(engine):
+    """dispatch applies run's input contract: float images are rejected, not
+    silently double-normalized."""
+    bad = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        engine.dispatch(bad)
+    with pytest.raises(ValueError, match="uint8|NHWC"):
+        engine.dispatch(np.zeros((64, 64, 3), np.uint8))  # missing batch dim
+
+
+def test_evaluate_loader_batch_larger_than_engine(synth, engine, tmp_path):
+    """Loader batches above engine.batch_size are split into micro-batches
+    (Engine.run's old chunking, kept by the pipelined loop)."""
+    from wadt.data.dataset import BatchLoader, MultiTaskDataset
+    from wadt.workloads.evaluate import evaluate
+
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+    big_loader = BatchLoader(ds, batch_size=4 * engine.batch_size)
+    out_dir = tmp_path / "big_batch"
+    avg_loss, metrics, overall_f1, _ = evaluate(engine, big_loader, str(out_dir))
+    assert np.isfinite(avg_loss) and metrics
+
+
 def test_engine_dispatch_fetch_matches_run(engine):
     """The pipelined micro-batch API (dispatch + async host copy + fetch)
     returns exactly what Engine.run does, including tail padding removal."""

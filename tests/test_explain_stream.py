@@ -112,6 +112,31 @@ def test_style_transfer_batch_matches_solo(model):
         )
 
 
+def test_style_transfer_noise_init_position_independent(model):
+    """Noise init is keyed on each image's GLOBAL index (seed_offset + i):
+    the same image gets the same trajectory solo, batched, or re-chunked."""
+    from wadt.workloads.style_transfer import (
+        run_patch_gram_style_transfer,
+        run_patch_gram_style_transfer_batch,
+    )
+
+    spec, params = model
+    styles = np.random.RandomState(9).randn(2, 64, 64, 3).astype(np.float32) * 0.5
+    imgs, losses, _ = run_patch_gram_style_transfer_batch(
+        params, spec, styles, num_iterations=3, init_type="noise",
+        target_loss=0.0, log_every=0,
+    )
+    # image 1 solo, reproducing its batch position via seed_offset
+    img1, loss1, _ = run_patch_gram_style_transfer(
+        params, spec, styles[1:2], num_iterations=3, init_type="noise",
+        target_loss=0.0, log_every=0, seed_offset=1,
+    )
+    np.testing.assert_allclose(losses[1], loss1, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(imgs[1], np.float32), np.asarray(img1, np.float32), atol=1.0
+    )
+
+
 def test_style_transfer_batch_early_stop(model):
     """A huge target stops every image after one applied step (the reference
     breaks AFTER optimizer.step(), so pixels must have moved)."""

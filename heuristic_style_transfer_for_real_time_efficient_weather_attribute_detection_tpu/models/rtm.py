@@ -111,7 +111,26 @@ def init(key, spec: Spec) -> Dict[str, Any]:
 
 
 def _classify(params: Dict[str, Any], h: jnp.ndarray) -> jnp.ndarray:
-    """Stacked per-task MLP. h: [B, T, C] -> logits [B, T, Kmax]."""
+    """Stacked per-task MLP. h: [B, T, C] -> logits [B, T, Kmax].
+
+    Accepts either full-precision ``mlp`` layers or the streaming fold's
+    weight-only int8 form (``mlp_q8`` — dequant fuses into the einsum's
+    weight read, see fold_stream_weights)."""
+    if "mlp_q8" in params:
+        for lp in params["mlp_q8"]:
+            w = lp["w8"].astype(lp["scale"].dtype) * lp["scale"][:, None, :]
+            h = jax.nn.relu(
+                jnp.einsum("btc,tcd->btd", h.astype(w.dtype), w,
+                           preferred_element_type=jnp.float32)
+                + lp["b"]
+            )
+        return (
+            jnp.einsum(
+                "btc,tck->btk", h, params["final"]["w"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["final"]["b"]
+        )
     for lp in params["mlp"]:
         h = jax.nn.relu(
             jnp.einsum("btc,tcd->btd", h, lp["w"], preferred_element_type=jnp.float32)
@@ -220,12 +239,28 @@ def fold_stream_weights(
         "mlp": cast_tree(params["mlp"], dtype),
         "final": cast_tree(params["final"], dtype),
     }
-    if quantize_fold:
-        amax = jnp.max(jnp.abs(fold), axis=1)  # [T, E]
+    def _q8(w):
+        """Weight-only int8 with per-(task, output-column) symmetric scales
+        for a stacked [T, C, D] einsum weight (XLA fuses the dequant into
+        the einsum's weight read — NOT true for conv operands, see
+        tools/exp_rtm_trunk_int8.py)."""
+        w = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=1)  # [T, D]
         scale = jnp.maximum(amax, 1e-12) / 127.0
-        q = jnp.clip(jnp.round(fold / scale[:, None, :]), -127, 127)
-        out["attn_fold_q8"] = q.astype(jnp.int8)
-        out["attn_fold_scale"] = scale.astype(dtype)
+        q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
+        return q.astype(jnp.int8), scale.astype(dtype)
+
+    if quantize_fold:
+        out["attn_fold_q8"], out["attn_fold_scale"] = _q8(fold)
+        # the stacked classifier MLP weights are the next-largest einsum
+        # reads (e.g. [12, 2048, 512] ~ 25 MB bf16) — same treatment
+        out["mlp_q8"] = []
+        for lp in params["mlp"]:
+            w8, s = _q8(lp["w"])
+            out["mlp_q8"].append(
+                {"w8": w8, "scale": s, "b": lp["b"].astype(dtype)}
+            )
+        del out["mlp"]
     else:
         out["attn_fold"] = fold.astype(dtype)
     if pack_stem:

@@ -144,6 +144,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_wait_ms", type=float, default=2.0,
                    help="micro-batch coalescing window")
+    p.add_argument("--max_body_mb", type=float, default=32.0,
+                   help="reject POST bodies over this size with 413")
+    p.add_argument("--result_timeout_s", type=float, default=60.0,
+                   help="per-request inference timeout (504 on expiry)")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="pending-request cap before 503 (default 2*batch*depth)")
     # RTM architecture flags
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--attn_token_dim", type=int, default=None)
@@ -309,7 +315,10 @@ def main(argv=None) -> int:
         engine.warmup()
         InferenceServer(engine, host=args.host, port=args.port,
                         prob_threshold=args.prob_threshold,
-                        max_wait_ms=args.max_wait_ms).serve_forever()
+                        max_wait_ms=args.max_wait_ms,
+                        max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+                        result_timeout_s=args.result_timeout_s,
+                        max_queue=args.max_queue).serve_forever()
 
     elif args.mode == "benchmark":
         from .workloads.benchmark import run_benchmark

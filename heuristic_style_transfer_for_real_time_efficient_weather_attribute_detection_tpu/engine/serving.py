@@ -29,6 +29,12 @@ import numpy as np
 from .executor import Engine
 
 
+class Overloaded(RuntimeError):
+    """Raised by ``submit`` when the bounded request queue is full — the
+    backpressure signal for sustained overload (the HTTP front-end maps it
+    to 503 + Retry-After)."""
+
+
 class _Request:
     __slots__ = ("image", "future", "t_submit")
 
@@ -50,13 +56,23 @@ class AsyncBatcher:
         engine: Engine,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 2.0,
+        max_queue: Optional[int] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch or engine.batch_size
         self.max_wait = max_wait_ms / 1e3
         # pipeline depth: batches in flight before the oldest must resolve
         self._DEPTH = 3
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # Bounded admission queue: beyond ~2 full pipelines of backlog the
+        # request would time out waiting anyway, so reject at submit (503)
+        # instead of growing host memory and queue latency without bound.
+        self.max_queue = (
+            max_queue if max_queue is not None
+            else 2 * self.max_batch * self._DEPTH
+        )
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=self.max_queue
+        )
         self._stop = threading.Event()
         # bounded: long-running servers must not grow host memory per request
         self.latencies: "deque[float]" = deque(maxlen=100_000)
@@ -69,7 +85,12 @@ class AsyncBatcher:
         if self._stop.is_set():
             raise RuntimeError("AsyncBatcher is closed")
         req = _Request(image_u8)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise Overloaded(
+                f"request queue full ({self.max_queue} pending); retry later"
+            ) from None
         return req.future
 
     def predict(self, image_u8: np.ndarray, timeout: Optional[float] = None) -> Dict:
@@ -77,7 +98,10 @@ class AsyncBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._queue.put(None)
+        try:
+            self._queue.put(None, timeout=10)
+        except queue.Full:
+            pass  # dispatcher dead with a full queue; join below times out
         self._thread.join(timeout=10)
 
     def __enter__(self):
@@ -129,7 +153,9 @@ class AsyncBatcher:
             except queue.Empty:
                 break
             if nxt is None:
-                self._queue.put(None)  # re-signal shutdown for the outer loop
+                # flag shutdown for the outer loop (a re-put could block
+                # against the bounded queue from this very thread)
+                self._drain_seen = True
                 break
             batch.append(nxt)
         return batch
@@ -144,13 +170,14 @@ class AsyncBatcher:
         eng = self.engine
         inflight: "deque[tuple]" = deque()
         stopping = False
+        self._drain_seen = False
         while not (stopping and not inflight):
             batch: Optional[List[_Request]] = []
             if not stopping:
                 batch = self._collect(block=not inflight)
-                if batch is None:
+                if batch is None or self._drain_seen:
                     stopping = True
-                    batch = []
+                    batch = batch or []
             if batch:
                 try:
                     images = np.stack([r.image for r in batch])

@@ -28,12 +28,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..engine.executor import class_mask
 from ..models import get_family
 
-# Param-pytree keys whose leaves carry a leading task axis T (shardable over
-# the 'model' mesh axis as head tensor-parallelism).
-_TASK_AXIS_KEYS = (
-    "queries", "heads", "attn", "final", "mlp",  # pmg / rtm stacks
-    "se1_w", "se1_b", "se2_w", "se2_b", "attn_w", "attn_b", "cls_w",  # pm
-)
+# Param-pytree ROOT keys whose subtrees are stacked per-task tensors with a
+# leading task axis T (shardable over the 'model' mesh axis as head
+# tensor-parallelism): PMG's ``queries``/``heads``, PM's ``heads``, RTM's
+# ``attn``/``mlp``/``final``.  The match is on the FIRST path component
+# only — nested reuses of these names (e.g. PMG's ``transformer/[i]/attn``
+# subtree, whose [d_model, d_model] weights carry no task axis) replicate.
+_TASK_AXIS_ROOTS = frozenset({"queries", "heads", "attn", "final", "mlp"})
 
 
 def param_shardings(params, mesh: Mesh):
@@ -42,9 +43,9 @@ def param_shardings(params, mesh: Mesh):
     has_model = "model" in mesh.axis_names
 
     def one(path, leaf):
-        if has_model:
-            names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
-            if names & set(_TASK_AXIS_KEYS):
+        if has_model and path:
+            root = getattr(path[0], "key", getattr(path[0], "name", None))
+            if root in _TASK_AXIS_ROOTS:
                 return NamedSharding(mesh, P("model", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
 

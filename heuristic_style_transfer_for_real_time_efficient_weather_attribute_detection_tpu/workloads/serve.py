@@ -15,6 +15,7 @@ Endpoints:
 
 from __future__ import annotations
 
+import concurrent.futures
 import io
 import json
 import threading
@@ -24,21 +25,29 @@ from typing import Optional
 from PIL import Image
 
 from ..engine.executor import Engine
-from ..engine.serving import AsyncBatcher
+from ..engine.serving import AsyncBatcher, Overloaded
 from ..ops.preprocess import load_image_uint8
 
 
-def make_handler(engine: Engine, batcher: AsyncBatcher, prob_threshold: float):
+def make_handler(
+    engine: Engine,
+    batcher: AsyncBatcher,
+    prob_threshold: float,
+    max_body_bytes: int = 32 * 1024 * 1024,
+    result_timeout_s: float = 60.0,
+):
     tasks = engine.tasks
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "wadt-serve/0.1"
 
-        def _json(self, code: int, payload) -> None:
+        def _json(self, code: int, payload, extra_headers=()) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in extra_headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -64,9 +73,23 @@ def make_handler(engine: Engine, batcher: AsyncBatcher, prob_threshold: float):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length <= 0:
-                    self._json(400, {"error": "empty body (expect image bytes)"})
-                    return
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length <= 0:
+                self._json(400, {"error": "empty body (expect image bytes)"})
+                return
+            if length > max_body_bytes:
+                # reject BEFORE buffering: an oversize POST must not be
+                # read into host memory; drop the connection (can't reuse
+                # a keep-alive socket with an unread body)
+                self.close_connection = True
+                self._json(413, {
+                    "error": f"body {length} bytes exceeds limit "
+                             f"{max_body_bytes}",
+                })
+                return
+            try:
                 raw = self.rfile.read(length)
                 img = Image.open(io.BytesIO(raw))
                 frame = load_image_uint8(img)
@@ -74,7 +97,16 @@ def make_handler(engine: Engine, batcher: AsyncBatcher, prob_threshold: float):
                 self._json(400, {"error": f"undecodable image: {e}"})
                 return
             try:
-                res = batcher.predict(frame, timeout=60)
+                res = batcher.predict(frame, timeout=result_timeout_s)
+            except Overloaded as e:
+                self._json(503, {"error": str(e)},
+                           extra_headers=(("Retry-After", "1"),))
+                return
+            except concurrent.futures.TimeoutError:
+                self._json(504, {
+                    "error": f"inference timed out after {result_timeout_s}s",
+                })
+                return
             except Exception as e:
                 self._json(503, {"error": f"inference failed: {e}"})
                 return
@@ -107,9 +139,17 @@ class InferenceServer:
     run it on a daemon thread (tests)."""
 
     def __init__(self, engine: Engine, host: str = "0.0.0.0", port: int = 8000,
-                 prob_threshold: float = 0.5, max_wait_ms: float = 2.0):
-        self.batcher = AsyncBatcher(engine, max_wait_ms=max_wait_ms)
-        handler = make_handler(engine, self.batcher, prob_threshold)
+                 prob_threshold: float = 0.5, max_wait_ms: float = 2.0,
+                 max_body_bytes: int = 32 * 1024 * 1024,
+                 result_timeout_s: float = 60.0,
+                 max_queue: Optional[int] = None):
+        self.batcher = AsyncBatcher(
+            engine, max_wait_ms=max_wait_ms, max_queue=max_queue
+        )
+        handler = make_handler(
+            engine, self.batcher, prob_threshold,
+            max_body_bytes=max_body_bytes, result_timeout_s=result_timeout_s,
+        )
 
         class _Server(ThreadingHTTPServer):
             # stdlib default backlog of 5 drops bursts (connection reset

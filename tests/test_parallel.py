@@ -68,6 +68,25 @@ def test_train_step_dp_tp_loss_decreases():
     assert sh.spec[0] == "model"
 
 
+def test_param_shardings_path_aware():
+    """Only ROOT-level task-stacked subtrees shard over 'model'; the
+    transformer's internal ``attn`` subtree (no task axis) must replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from wadt.parallel.mesh import make_mesh
+    from wadt.parallel.train import param_shardings
+
+    spec, params = _spec_params()
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    sh = param_shardings(params, mesh)
+    assert sh["heads"]["w"].spec == P("model", None, None)
+    assert sh["queries"].spec == P("model", None)
+    for name, leaf_sh in sh["transformer"][0]["attn"].items():
+        assert leaf_sh.spec == P(), (name, leaf_sh.spec)
+    for name, leaf_sh in sh["transformer"][0]["ffn1"].items():
+        assert leaf_sh.spec == P(), (name, leaf_sh.spec)
+
+
 def test_train_matches_unsharded():
     """Same seed, same data: sharded and unsharded training must agree."""
     import jax

@@ -101,3 +101,59 @@ def test_unknown_path(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(_url(server, "/nope"), timeout=60)
     assert exc.value.code == 404
+
+
+def test_oversize_body_rejected_413():
+    """A body over max_body_bytes must be refused BEFORE buffering."""
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    engine = Engine("pmg", spec, params, batch_size=4)
+    srv = InferenceServer(engine, host="127.0.0.1", port=0,
+                          prob_threshold=0.0, max_body_bytes=1024).start()
+    try:
+        req = urllib.request.Request(
+            _url(srv, "/predict"), data=b"x" * 4096, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 413
+        # server still healthy afterwards
+        assert _get(srv, "/healthz")[0] == 200
+    finally:
+        srv.stop()
+
+
+def test_result_timeout_504(server, monkeypatch):
+    """A request whose result does not arrive within result_timeout_s maps
+    to 504 (the stdlib Future timeout path)."""
+    import concurrent.futures
+
+    def never(*a, **k):
+        raise concurrent.futures.TimeoutError()
+
+    monkeypatch.setattr(server.batcher, "predict", never)
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=_jpeg_bytes(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 504
+
+
+def test_overload_503_with_retry_after(server, monkeypatch):
+    """Queue-full backpressure surfaces as 503 + Retry-After."""
+    from wadt.engine.serving import Overloaded
+
+    def full(*a, **k):
+        raise Overloaded("request queue full (test)")
+
+    monkeypatch.setattr(server.batcher, "predict", full)
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=_jpeg_bytes(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 503
+    assert exc.value.headers.get("Retry-After") == "1"

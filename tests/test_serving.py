@@ -84,3 +84,50 @@ def test_latencies_bounded(engine):
 
     with AsyncBatcher(engine) as ab:
         assert isinstance(ab.latencies, deque) and ab.latencies.maxlen
+
+
+class _StallEngine:
+    """Engine stub whose dispatch blocks until released — lets a test fill
+    the admission queue deterministically."""
+
+    batch_size = 1
+
+    def __init__(self):
+        self.release = threading.Event()
+
+    def dispatch(self, images):
+        self.release.wait(timeout=30)
+        return images
+
+    def fetch(self, handle):
+        n = len(handle)
+        return {
+            "probs": np.full((n, 2, 3), 1 / 3, np.float32),
+            "preds": np.zeros((n, 2), np.int32),
+        }
+
+
+def test_async_overload_raises():
+    """With the dispatcher stalled, submits beyond max_queue must be
+    rejected with Overloaded (bounded-memory backpressure), and queued
+    requests must still resolve once the stall clears."""
+    from wadt.engine.serving import Overloaded
+
+    eng = _StallEngine()
+    ab = AsyncBatcher(eng, max_batch=1, max_wait_ms=0.0, max_queue=2)
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        first = ab.submit(img)  # dispatcher takes this one and stalls
+        # give the dispatcher time to pull `first` off the queue
+        deadline = __import__("time").time() + 5
+        while ab._queue.qsize() > 0 and __import__("time").time() < deadline:
+            __import__("time").sleep(0.01)
+        queued = [ab.submit(img) for _ in range(2)]  # fills max_queue
+        with pytest.raises(Overloaded):
+            ab.submit(img)
+        eng.release.set()
+        for f in [first, *queued]:
+            assert f.result(timeout=30)["preds"].shape == (2,)
+    finally:
+        eng.release.set()
+        ab.close()

@@ -13,7 +13,7 @@ Implements the semantics of the reference's three loaders (SURVEY.md 2.2):
   (:643-648),
 - the ``pretrained_load_report`` key manifest
   (Model_weights/PMG/hyperparameters_PMG.json:52-135) is the golden fixture
-  for the PMG mapping (tests/test_checkpoint.py).
+  for the PMG mapping (tests/test_parity.py::test_checkpoint_key_manifest_roundtrip).
 
 Layout transforms (torch -> ours): conv OIHW -> HWIO, Linear [out,in] ->
 [in,out], packed transformer ``in_proj`` split into q/k/v, per-task modules

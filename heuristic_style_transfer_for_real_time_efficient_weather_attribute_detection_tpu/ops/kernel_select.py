@@ -46,9 +46,16 @@ def winner(op: str, default: str = "xla") -> str:
     return entry.get("winner", default) if isinstance(entry, dict) else default
 
 
-def record(op: str, win: str, xla_us: float, pallas_us: float,
+def record(op: str, win: str, variants: Dict[str, float],
            shape: str, backend: Optional[str] = None) -> None:
-    """Store one A/B outcome (called by tools/bench_kernels.py --record)."""
+    """Store one measured-selection outcome (called by
+    tools/bench_kernels.py / tools/bench_latency.py ``--record``).
+
+    ``variants`` maps each measured implementation name to its device time
+    in microseconds; ``win`` must be one of its keys (the value consumers
+    dispatch on via :func:`winner`)."""
+    if win not in variants:
+        raise ValueError(f"winner {win!r} not among variants {sorted(variants)}")
     backend = backend or backend_kind()
     data = {}
     try:
@@ -58,8 +65,8 @@ def record(op: str, win: str, xla_us: float, pallas_us: float,
         pass
     data.setdefault(backend, {})[op] = {
         "winner": win,
-        "xla_us": round(xla_us, 2),
-        "pallas_us": round(pallas_us, 2),
+        "variants": {k: round(v, 2) for k, v in variants.items()},
+        "unit": "us",
         "shape": shape,
     }
     os.makedirs(os.path.dirname(RECORD_PATH), exist_ok=True)

@@ -196,6 +196,31 @@ class StreamPredictor:
         return out
 
 
+def _screen_size() -> Optional[tuple]:
+    """Primary-display resolution, or None when undeterminable.  The
+    reference scales every preview frame to the monitor via screeninfo
+    (utils/camera_utils.py:37-38,136); screeninfo is optional here, with the
+    stdlib Tk query as fallback so the behavior survives without the extra
+    dependency."""
+    try:
+        from screeninfo import get_monitors
+
+        m = get_monitors()[0]
+        return int(m.width), int(m.height)
+    except Exception:
+        pass
+    try:
+        import tkinter as tk
+
+        root = tk.Tk()
+        root.withdraw()
+        size = (root.winfo_screenwidth(), root.winfo_screenheight())
+        root.destroy()
+        return size
+    except Exception:
+        return None
+
+
 def run_camera(
     family: str,
     spec,
@@ -243,11 +268,17 @@ def run_camera(
         # X-less Linux — detect headless up front instead of trying the window.
         print("[camera] no display server detected; running headless")
         display = False
+    screen = None
     if display:
         try:
             cv2.namedWindow("Camera", cv2.WINDOW_NORMAL)
         except cv2.error:
             display = False
+    if display:
+        # Scale the preview to the primary display like the reference
+        # (utils/camera_utils.py:37-38,136 — frames are resized to the
+        # monitor resolution before overlay/record/display).
+        screen = _screen_size()
 
     # Without a display there is no 'r' key: if the user asked for video,
     # record from the start.  Decided here (after the namedWindow fallback)
@@ -261,6 +292,8 @@ def run_camera(
     def present(frame, probs) -> None:
         """Annotate + record + display one frame with ITS OWN predictions."""
         nonlocal writer, recording, fullscreen, quit_requested
+        if screen is not None:
+            frame = cv2.resize(frame, screen)
         lines = [
             f"{t}: {label} ({p:.2f})"
             for t, label, p in predictor.labels(probs, prob_threshold)

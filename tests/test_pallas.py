@@ -87,9 +87,13 @@ def test_kernel_select_registry(tmp_path, monkeypatch):
     monkeypatch.setattr(ks, "RECORD_PATH", str(tmp_path / "ab.json"))
     ks._table.cache_clear()
     assert ks.winner("patch_gram_tokens") == "xla"  # default with no record
-    ks.record("patch_gram_tokens", "pallas", 10.0, 5.0, "test",
-              backend=ks.backend_kind())
+    ks.record("patch_gram_tokens", "pallas", {"xla": 10.0, "pallas": 5.0},
+              "test", backend=ks.backend_kind())
     assert ks.winner("patch_gram_tokens") == "pallas"
+    # the winner must be one of the measured variants
+    with pytest.raises(ValueError):
+        ks.record("patch_gram_tokens", "nope", {"xla": 1.0}, "test",
+                  backend=ks.backend_kind())
     ks._table.cache_clear()
 
 

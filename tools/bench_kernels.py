@@ -105,7 +105,7 @@ def main():
     if args.record:
         kernel_select.record(
             "patch_gram_tokens", "pallas" if t_pal < t_xla else "xla",
-            t_xla * 1e6, t_pal * 1e6, f"b{B}x14x14x96 div3",
+            {"xla": t_xla * 1e6, "pallas": t_pal * 1e6}, f"b{B}x14x14x96 div3",
         )
         print(f"recorded -> {kernel_select.RECORD_PATH}")
 

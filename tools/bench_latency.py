@@ -119,8 +119,7 @@ def main():
                 win = min((k for k in results if k != "folded_q8"),
                           key=results.get)
             kernel_select.record(
-                "rtm_stream_folded", win,
-                results["generic"], results[win], "batch1 224px defaults",
+                "rtm_stream_folded", win, results, "batch1 224px defaults",
             )
             print(f"recorded rtm_stream_folded winner={win} -> "
                   f"{kernel_select.RECORD_PATH}")
@@ -150,7 +149,9 @@ def main():
             win = "pallas" if results["fused"] < results["packed"] else "xla"
             kernel_select.record(
                 "fused_trunk_gram", win,
-                results["packed"], results["fused"], "batch1 224px shipped",
+                {"xla": results["packed"], "pallas": results["fused"]},
+                "batch1 224px shipped (xla=packed GEMM stem, "
+                "pallas=fused trunk+gram kernel)",
             )
             print(f"recorded fused_trunk_gram winner={win} -> "
                   f"{kernel_select.RECORD_PATH}")

@@ -204,6 +204,111 @@ def compare(ref_json, our_json, atol=1e-6):
     return fails
 
 
+# Benchmark-mode mapping (north-star parity leg): exercises class grouping
+# ("wet" <- Rain+Snow), an unmapped model class (Weather Type "Fog" in the
+# auto-map leg starts mapped; "Clear" grouping stays 1:1), bench classes
+# absent from the folder, and a bench class no model class maps to
+# ("rain" under Visibility) — every branch of the reference's
+# mapping/inversion/projection pipeline (utils/benchmark_utils.py:16-208).
+BENCH_MAPPING = {
+    "Weather Type": {
+        "sun": ["Clear"],
+        "wet": ["Rain", "Snow"],
+        "fog": ["Fog"],
+    },
+    "Visibility": {
+        "fog": ["Low"],
+        "sun": ["Good"],
+        "rain": [],
+    },
+}
+
+
+def run_reference_benchmark(synth, weights_pth, out_dir, mapping_path,
+                            auto_mapping):
+    import torch
+
+    from Models.models_PMG import MultiTaskPatchGANGramModelNonOverlapV2
+    from utils.benchmark_utils import test_benchmark_folder
+    from utils.datasets_utils import build_default_transform
+
+    with open(os.path.join(synth, "tasks.json")) as f:
+        tasks = json.load(f)
+    model = MultiTaskPatchGANGramModelNonOverlapV2(
+        input_nc=3,
+        num_classes_per_task={t: len(c) for t, c in tasks.items()},
+        **TINY,
+    )
+    model.load_state_dict(torch.load(weights_pth))
+    model.eval()
+    test_benchmark_folder(
+        model, torch.device("cpu"), os.path.join(synth, "images"),
+        mapping_path, tasks, build_default_transform(224),
+        out_dir, os.path.join(out_dir, "roc"), auto_mapping=auto_mapping,
+    )
+    return out_dir
+
+
+def run_ours_benchmark(synth, weights_pth, out_dir, mapping_path,
+                       auto_mapping):
+    import wadt  # noqa: F401
+    from wadt.config import enable_parity_precision, load_tasks
+    from wadt.engine import checkpoint
+    from wadt.engine.executor import Engine
+    from wadt.models import pmg
+    from wadt.workloads.benchmark import run_benchmark
+
+    enable_parity_precision()
+    tasks = load_tasks(os.path.join(synth, "tasks.json"))
+    spec = pmg.build_spec(tasks, TINY)
+    params = checkpoint.load_torch_checkpoint("pmg", weights_pth, spec)
+    engine = Engine("pmg", spec, params, batch_size=4)
+    run_benchmark(
+        engine, os.path.join(synth, "images"), mapping_path,
+        out_dir, os.path.join(out_dir, "roc"), auto_mapping=auto_mapping,
+    )
+    return out_dir
+
+
+def _diff_json(a, b, path, fails, atol):
+    """Recursive numeric-tolerant equality of two JSON trees."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        if set(a) != set(b):
+            fails.append((f"{path}/keys", sorted(a), sorted(b)))
+            return
+        for k in a:
+            _diff_json(a[k], b[k], f"{path}/{k}", fails, atol)
+    elif isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            fails.append((f"{path}/len", len(a), len(b)))
+            return
+        for i, (x, y) in enumerate(zip(a, b)):
+            _diff_json(x, y, f"{path}[{i}]", fails, atol)
+    elif a is None or b is None:
+        if a is not b:
+            fails.append((path, a, b))
+    elif isinstance(a, bool) or isinstance(b, bool):
+        if a != b:
+            fails.append((path, a, b))
+    elif isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if abs(float(a) - float(b)) > atol:
+            fails.append((path, a, b))
+    elif a != b:
+        fails.append((path, a, b))
+
+
+def compare_benchmark(ref_dir, our_dir, atol=1e-6):
+    """Diff best_mapping.json (exact) + benchmark_summary.json (numeric
+    tolerance) between the reference's and our benchmark-mode runs."""
+    fails = []
+    for name, tol in (("best_mapping.json", 0.0),
+                      ("benchmark_summary.json", atol)):
+        ref = json.load(open(os.path.join(ref_dir, name)))
+        ours = json.load(open(os.path.join(our_dir, name)))
+        _diff_json(ref, ours, name, fails, tol)
+    return fails
+
+
 PM_TINY = dict(ndf=16, norm="instance", patch_size=32, attn_tau=0.7,
                attn_use_se=True, attn_softmax_spatial=True, ablate_attention=False)
 RTM_TINY = dict(truncate_layer=5, use_attention=True, attn_token_dim=48,
@@ -369,6 +474,42 @@ def main():
         print(f"[pmg] artifact filename diff: {len(missing)} reference-only files")
         print(f"[pmg] full metrics_test.json diff: {len(fails)} failures")
 
+        # Benchmark mode (the north star): same weights, same folder, same
+        # mapping — diff benchmark_summary.json + best_mapping.json under
+        # BOTH the JSON mapping and the exhaustive auto-map search.
+        #
+        # Seed 20/120 is chosen so the auto-map optimum does not collapse
+        # any task's model classes into ONE bench class: a collapsed task
+        # projects a constant 1.0-sum probability whose per-sample value is
+        # last-ulp float noise, making its AUC nondeterministic even between
+        # two runs of the reference itself (different summation orders) —
+        # comparing it would test rounding noise, not parity.
+        torch.manual_seed(20)
+        mb = MultiTaskPatchGANGramModelNonOverlapV2(
+            input_nc=3, num_classes_per_task=ncpt, **TINY)
+        _randomize_bn(mb, 120)
+        bench_weights = os.path.join(base, "weights_pmg_bench.pth")
+        torch.save(mb.state_dict(), bench_weights)
+        mapping_path = os.path.join(base, "bench_mapping.json")
+        with open(mapping_path, "w") as f:
+            json.dump(BENCH_MAPPING, f, indent=2)
+        for label, auto in (("mapped", False), ("automap", True)):
+            ref_dir = os.path.join(base, f"bench_{label}_ref")
+            our_dir = os.path.join(base, f"bench_{label}_ours")
+            run_reference_benchmark(synth, bench_weights, ref_dir,
+                                    mapping_path, auto)
+            run_ours_benchmark(synth, bench_weights, our_dir,
+                               mapping_path, auto)
+            fails = compare_benchmark(ref_dir, our_dir)
+            all_fails += [(f"benchmark/{label}/" + n, a, b) for n, a, b in fails]
+            missing = compare_artifact_names(ref_dir, our_dir)
+            all_fails += [
+                (f"benchmark/{label}/artifact:{f}", "present", "MISSING")
+                for f in missing
+            ]
+            print(f"[benchmark {label}] summary+mapping diff: {len(fails)} "
+                  f"failures, {len(missing)} reference-only artifacts")
+
     if "pm" in families:
         from Models.models_PM import MultiTaskPatchGAN
 
@@ -425,7 +566,9 @@ def main():
     print("PARITY OK across families "
           f"{families}: PMG full metrics_test.json identical (loss, per-task "
           "acc/P/R/F1, confusion, macro/micro/per-class AUC); PM and RTM "
-          "per-task acc/P/R/F1 identical vs their reference pipelines.")
+          "per-task acc/P/R/F1 identical vs their reference pipelines; "
+          "benchmark mode benchmark_summary.json + best_mapping.json "
+          "identical under JSON mapping AND auto-mapping.")
 
 
 if __name__ == "__main__":

@@ -11,11 +11,13 @@ extend the same protocol to every family and dtype:
 Timing protocol — device-side loop with data dependence.  On this rig the
 TPU sits behind a network relay where ``block_until_ready`` can return before
 device execution finishes, so naive dispatch loops overstate throughput by
->10x (verified: batch-size sweeps came out flat).  Instead we jit ONE program
-that runs the forward N times inside ``lax.fori_loop``, each iteration
+>10x (verified: batch-size sweeps came out flat).  Instead we jit programs
+that run the forward N and 2N times inside ``lax.fori_loop``, each iteration
 data-dependent on the previous (its output perturbs the next input), and
-fetch a scalar result to the host — the wall-clock then provably contains N
-sequential executions.
+fetch a scalar result to the host — each wall-clock then provably contains
+that many sequential executions, and the N-vs-2N difference cancels the
+fixed per-dispatch cost (relay round-trip ~30-40ms), leaving a dispatch-free
+per-forward time.
 
 The input batch is device-resident uint8 (device-side normalize is part of
 the measured forward).  Host->device feeding is excluded: the relay's ~0.1
@@ -44,7 +46,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Per-family compiled batch (memory-comfortable on one v5e chip).
 FAMILY_BATCH = {"pmg": 512, "pm": 256, "rtm": 256}
-INNER = {"pmg": 100, "pm": 20, "rtm": 10}  # forwards per device loop
+# Forwards per device loop (the short chain; a 2x chain is also timed and
+# the difference cancels the fixed per-dispatch relay round-trip — see
+# measure()).  All >=20 per CLAUDE.md's honest-timing amortization rule.
+INNER = {"pmg": 100, "pm": 40, "rtm": 20}
 REPEATS = 4
 
 
@@ -105,35 +110,50 @@ def measure(family: str, dtype_name: str, batch: int, layout: str = "auto") -> f
     if packed:
         imgs = jax.device_put(s2d_pack_uint8(raw, spec.plan[0].kernel))
 
-        def chain_fn(p, z8):
-            def one(i, salt):
-                logits, _ = mod.apply_packed(
-                    p, jnp.bitwise_xor(z8, salt), spec, dtype=dtype
-                )
-                return (logits[0, 0, 0] * 0.0).astype(jnp.uint8)
+        def make_chain(n):
+            def chain_fn(p, z8):
+                def one(i, salt):
+                    logits, _ = mod.apply_packed(
+                        p, jnp.bitwise_xor(z8, salt), spec, dtype=dtype
+                    )
+                    return (logits[0, 0, 0] * 0.0).astype(jnp.uint8)
 
-            return jax.lax.fori_loop(0, inner, one, jnp.zeros((), jnp.uint8))
+                return jax.lax.fori_loop(0, n, one, jnp.zeros((), jnp.uint8))
+
+            return jax.jit(chain_fn)
 
     else:
         imgs = jax.device_put(raw)
 
-        def chain_fn(p, u8):
-            def one(i, salt):
-                x = normalize_uint8(u8, dtype) + salt
-                logits, _ = mod.apply(p, x, spec)
-                return (logits[0, 0, 0] * 0.0).astype(dtype)
+        def make_chain(n):
+            def chain_fn(p, u8):
+                def one(i, salt):
+                    x = normalize_uint8(u8, dtype) + salt
+                    logits, _ = mod.apply(p, x, spec)
+                    return (logits[0, 0, 0] * 0.0).astype(dtype)
 
-            return jax.lax.fori_loop(0, inner, one, jnp.zeros((), dtype))
+                return jax.lax.fori_loop(0, n, one, jnp.zeros((), dtype))
 
-    chain = jax.jit(chain_fn)
-    float(chain(params, imgs))  # compile + first run
+            return jax.jit(chain_fn)
 
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(chain(params, imgs))  # scalar fetch = true completion barrier
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return batch / best
+    # Differential protocol: time chains of N and 2N forwards; the fixed
+    # per-dispatch cost (relay round-trip + launch + scalar fetch, ~30-40ms
+    # here) appears once in EACH wall time and cancels in the difference,
+    # so per-forward time carries zero dispatch bias at any chain length.
+    chain1, chain2 = make_chain(inner), make_chain(2 * inner)
+    float(chain1(params, imgs))  # compile + first run
+    float(chain2(params, imgs))
+
+    def best_wall(chain):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(chain(params, imgs))  # scalar fetch = completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_forward = (best_wall(chain2) - best_wall(chain1)) / inner
+    return batch / per_forward
 
 
 def result_line(family: str, dtype_name: str, ips: float) -> dict:

@@ -42,7 +42,17 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
             xs.ParseFromString(f.read())
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    plane = next(p for p in xs.planes if p.name == "/device:TPU:0")
+    # TPU plane preferred; any device plane carrying an "XLA Ops" line works
+    # (CPU backend smoke runs land on "/device:CPU:0" / host planes).
+    candidates = [p for p in xs.planes if p.name == "/device:TPU:0"] or [
+        p for p in xs.planes
+        if any(l.name == "XLA Ops" for l in p.lines)
+    ]
+    if not candidates:
+        raise RuntimeError(
+            f"no XLA Ops plane in trace (planes: {[p.name for p in xs.planes]})"
+        )
+    plane = candidates[0]
     md = plane.event_metadata
     line = next(l for l in plane.lines if l.name == "XLA Ops")
     agg: collections.Counter = collections.Counter()

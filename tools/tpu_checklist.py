@@ -193,6 +193,10 @@ def main() -> int:
     ap.add_argument("--perf", action="store_true",
                     help="also run kernel A/B recording + the perf "
                          "regression gate (slow)")
+    ap.add_argument("--record", action="store_true",
+                    help="write results/tpu_checklist.json (commit, date, "
+                         "per-check pass/fail) so the repo carries a record "
+                         "of when its TPU-only surfaces last passed")
     args = ap.parse_args()
 
     import jax
@@ -208,31 +212,60 @@ def main() -> int:
         print(f"tpu_checklist: no TPU attached ({sorted(kinds)}); aborting")
         return 1
 
-    failures = []
-    print("[1/5] bf16 argmax parity over golden fixtures")
-    if not check_bf16_argmax_parity():
-        failures.append("bf16_argmax_parity")
-    print("[2/5] RTM folded streaming path parity (bf16)")
-    if not check_rtm_folded_stream_parity():
-        failures.append("rtm_folded_stream_parity")
-    print("[3/5] mixed-precision train step (bf16 compute, f32 master)")
-    if not check_mixed_precision_train():
-        failures.append("mixed_precision_train")
-    print("[4/5] PMG streaming paths parity (fused + packed; pins "
-          "full-f32 precision for the packed bit-exact check)")
-    if not check_packed_stream_parity():
-        failures.append("packed_stream_parity")
+    results = {}
+    checks = [
+        ("bf16_argmax_parity",
+         "bf16 argmax parity over golden fixtures",
+         check_bf16_argmax_parity),
+        ("rtm_folded_stream_parity",
+         "RTM folded streaming path parity (bf16)",
+         check_rtm_folded_stream_parity),
+        ("mixed_precision_train",
+         "mixed-precision train step (bf16 compute, f32 master)",
+         check_mixed_precision_train),
+        ("packed_stream_parity",
+         "PMG streaming paths parity (fused + packed; pins full-f32 "
+         "precision for the packed bit-exact check)",
+         check_packed_stream_parity),
+    ]
+    n_total = len(checks) + 1
+    for i, (key, title, fn) in enumerate(checks, 1):
+        print(f"[{i}/{n_total}] {title}")
+        results[key] = bool(fn())
     if args.perf:
-        print("[5/5] kernel A/B record + perf regression gate")
+        print(f"[{n_total}/{n_total}] kernel A/B record + perf regression gate")
         for cmd in (
             [sys.executable, os.path.join(REPO, "tools", "bench_kernels.py"),
              "--record"],
             [sys.executable, os.path.join(REPO, "tools", "bench_regression.py")],
         ):
-            if subprocess.call(cmd) != 0:
-                failures.append(os.path.basename(cmd[1]))
+            results[os.path.basename(cmd[1]).replace(".py", "")] = (
+                subprocess.call(cmd) == 0
+            )
     else:
-        print("[5/5] perf checks skipped (pass --perf)")
+        print(f"[{n_total}/{n_total}] perf checks skipped (pass --perf)")
+
+    failures = [k for k, ok in results.items() if not ok]
+    if args.record:
+        import datetime
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip())
+        path = os.path.join(REPO, "results", "tpu_checklist.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({
+                "commit": commit + ("-dirty" if dirty else ""),
+                "date": datetime.datetime.now().isoformat(timespec="seconds"),
+                "perf_included": bool(args.perf),
+                "checks": results,
+                "passed": not failures,
+            }, f, indent=2)
+        print(f"recorded -> {path}")
 
     if failures:
         print(f"tpu_checklist FAILED: {failures}")

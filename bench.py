@@ -152,7 +152,17 @@ def measure(family: str, dtype_name: str, batch: int, layout: str = "auto") -> f
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_forward = (best_wall(chain2) - best_wall(chain1)) / inner
+    t1, t2 = best_wall(chain1), best_wall(chain2)
+    # Sanity: the 2N chain must take meaningfully longer than the N chain
+    # (ideally ~2x).  If relay jitter swamps the difference the quotient is
+    # garbage — refuse to print a number rather than record noise.
+    if t2 < 1.2 * t1:
+        raise RuntimeError(
+            f"differential timing unusable: wall(N)={t1:.4f}s "
+            f"wall(2N)={t2:.4f}s — relay jitter exceeds the chain time; "
+            f"raise INNER['{family}'] or rerun"
+        )
+    per_forward = (t2 - t1) / inner
     return batch / per_forward
 
 
@@ -167,6 +177,14 @@ def result_line(family: str, dtype_name: str, ips: float) -> dict:
 
 
 def main():
+    # persist compiled executables (~/.cache/wadt/xla_cache): the N/2N
+    # chains are 2 programs per config and recompile-free on reruns
+    from heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu.config import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
     ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32")

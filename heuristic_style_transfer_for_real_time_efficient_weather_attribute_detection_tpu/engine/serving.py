@@ -66,6 +66,11 @@ class AsyncBatcher:
         # Bounded admission queue: beyond ~2 full pipelines of backlog the
         # request would time out waiting anyway, so reject at submit (503)
         # instead of growing host memory and queue latency without bound.
+        if max_queue is not None and max_queue <= 0:
+            # queue.Queue(maxsize=0) means UNBOUNDED — the opposite of the
+            # most restrictive setting; reject rather than silently disable
+            # backpressure
+            raise ValueError(f"max_queue must be positive, got {max_queue}")
         self.max_queue = (
             max_queue if max_queue is not None
             else 2 * self.max_batch * self._DEPTH

@@ -42,8 +42,9 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
             xs.ParseFromString(f.read())
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    # TPU plane preferred; any device plane carrying an "XLA Ops" line works
-    # (CPU backend smoke runs land on "/device:CPU:0" / host planes).
+    # TPU plane preferred; otherwise aggregate over EVERY device plane
+    # carrying an "XLA Ops" line (virtual-device CPU runs spread ops across
+    # /device:CPU:n planes — counting just one would report a fraction).
     candidates = [p for p in xs.planes if p.name == "/device:TPU:0"] or [
         p for p in xs.planes
         if any(l.name == "XLA Ops" for l in p.lines)
@@ -52,15 +53,17 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
         raise RuntimeError(
             f"no XLA Ops plane in trace (planes: {[p.name for p in xs.planes]})"
         )
-    plane = candidates[0]
-    md = plane.event_metadata
-    line = next(l for l in plane.lines if l.name == "XLA Ops")
     agg: collections.Counter = collections.Counter()
-    for ev in line.events:
-        name = md[ev.metadata_id].name
-        if name.startswith(("jit_", "%while")):
-            continue
-        agg[name] += ev.duration_ps
+    for plane in candidates:
+        md = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = md[ev.metadata_id].name
+                if name.startswith(("jit_", "%while")):
+                    continue
+                agg[name] += ev.duration_ps
     total_ms = sum(agg.values()) / 1e9 / iters
     top = [(t / 1e9 / iters, n) for n, t in agg.most_common(12)]
     return total_ms, top

@@ -81,13 +81,15 @@ def make_handler(
                 return
             if length > max_body_bytes:
                 # reject BEFORE buffering: an oversize POST must not be
-                # read into host memory; drop the connection (can't reuse
-                # a keep-alive socket with an unread body)
+                # read into host memory; announce the close (the body is
+                # unread so the keep-alive socket can't be reused — clients
+                # still streaming may see a reset, which is inherent to
+                # refusing the upload)
                 self.close_connection = True
                 self._json(413, {
                     "error": f"body {length} bytes exceeds limit "
                              f"{max_body_bytes}",
-                })
+                }, extra_headers=(("Connection", "close"),))
                 return
             try:
                 raw = self.rfile.read(length)

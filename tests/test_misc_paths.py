@@ -118,3 +118,38 @@ def test_taskspec_split_logits():
     d = spec.split_logits(stacked)
     assert d["A"].shape == (2, 3) and d["B"].shape == (2, 2)
     np.testing.assert_array_equal(d["B"], stacked[:, 1, :2])
+
+
+def test_parity_diff_json_comparator():
+    """The recursive comparator behind the live benchmark-parity gate
+    (tools/compare_with_reference.py) must flag every divergence kind and
+    pass numeric-within-tolerance trees."""
+    from tools.compare_with_reference import _diff_json
+
+    a = {"x": {"p": 1.0, "auc": None, "names": ["a", "b"], "n": 3},
+         "y": [0.5, 0.25]}
+    # identical within tolerance
+    fails = []
+    b = {"x": {"p": 1.0 + 5e-7, "auc": None, "names": ["a", "b"], "n": 3},
+         "y": [0.5, 0.25]}
+    _diff_json(a, b, "", fails, 1e-6)
+    assert fails == []
+    # every divergence kind flagged
+    fails = []
+    b = {"x": {"p": 1.1, "auc": 0.3, "names": ["a", "zz"], "n": 3},
+         "y": [0.5]}
+    _diff_json(a, b, "", fails, 1e-6)
+    paths = {p for p, _, _ in fails}
+    assert paths == {"/x/p", "/x/auc", "/x/names[1]", "/y/len"}, fails
+    # missing key
+    fails = []
+    _diff_json({"k": 1}, {}, "", fails, 1e-6)
+    assert fails and fails[0][0] == "/keys"
+    # NaN never satisfies the tolerance check against a number
+    nan = float("nan")
+    fails = []
+    _diff_json({"a": nan}, {"a": 0.5}, "", fails, 1e-6)
+    assert [p for p, _, _ in fails] == ["/a"]
+    fails = []
+    _diff_json({"a": nan}, {"a": nan}, "", fails, 1e-6)
+    assert fails == []

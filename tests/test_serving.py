@@ -107,6 +107,14 @@ class _StallEngine:
         }
 
 
+def test_async_rejects_nonpositive_max_queue():
+    """queue.Queue(maxsize=0) would mean UNBOUNDED — must be rejected."""
+    eng = _StallEngine()
+    for bad in (0, -4):
+        with pytest.raises(ValueError):
+            AsyncBatcher(eng, max_batch=1, max_queue=bad)
+
+
 def test_async_overload_raises():
     """With the dispatcher stalled, submits beyond max_queue must be
     rejected with Overloaded (bounded-memory backpressure), and queued

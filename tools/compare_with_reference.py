@@ -291,7 +291,14 @@ def _diff_json(a, b, path, fails, atol):
         if a != b:
             fails.append((path, a, b))
     elif isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        if abs(float(a) - float(b)) > atol:
+        import math
+
+        # NaN must not satisfy the tolerance check (abs(nan-x)>atol is
+        # always False): NaN==NaN passes, NaN vs number fails.
+        if math.isnan(float(a)) or math.isnan(float(b)):
+            if math.isnan(float(a)) != math.isnan(float(b)):
+                fails.append((path, a, b))
+        elif abs(float(a) - float(b)) > atol:
             fails.append((path, a, b))
     elif a != b:
         fails.append((path, a, b))

@@ -15,8 +15,8 @@ MXU with f32 accumulation, so the bf16 peak is the relevant ceiling for
 both dtype rows (recorded in the artifact).
 
 Bytes/flops are XLA's post-fusion estimates for the whole executable — an
-aggregate roofline (the per-layer 80% figure comes from the top fusions in
-the same trace, also recorded via --top-ops).
+aggregate roofline; the top per-op device times from the same trace are
+always recorded alongside (``top_ops_us``) for per-layer attribution.
 
 Usage: python tools/roofline.py [--families pmg,pm,rtm] [--record]
 """
@@ -85,8 +85,12 @@ def measure_config(family, dtype_name, batch):
         t_ms, top = device_time_ms(jitted, params, imgs, iters=20)
         timing = "trace"
     except (RuntimeError, StopIteration):
-        # no per-op device plane (CPU backend smoke): wall-clock is honest
-        # there — no relay between host and "device"
+        # No per-op device plane in the trace.  Wall-clock is only honest on
+        # the CPU backend (no relay between host and "device"); on TPU a
+        # dispatch loop can report completion early (CLAUDE.md), so a trace
+        # failure there must NOT silently record optimistic numbers.
+        if jax.devices()[0].platform.lower() != "cpu":
+            raise
         import time
 
         jax.block_until_ready(jitted(params, imgs))

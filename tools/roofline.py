@@ -104,7 +104,14 @@ def measure_config(family, dtype_name, batch):
     achieved_gbps = bytes_acc / t_s / 1e9 if t_s else 0.0
     flops_util = achieved_tflops / PEAKS["mxu_tflops_bf16"]
     hbm_util = achieved_gbps / PEAKS["hbm_gbps"]
-    if hbm_util >= max(0.5, flops_util):
+    if hbm_util > 1.0:
+        # XLA's bytes-accessed counts every fusion's operands+outputs; when
+        # that exceeds what HBM can physically serve in the measured time,
+        # much of the counted traffic was on-chip-resident (VMEM reuse /
+        # recounted intermediates).  The config is memory-system/overhead
+        # bound, and the "utilization" is an estimate artifact, not >100%.
+        bound = "onchip-resident/overhead (bytes estimate > HBM peak)"
+    elif hbm_util >= max(0.5, flops_util):
         bound = "hbm"
     elif flops_util >= 0.5:
         bound = "mxu"

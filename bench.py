@@ -136,34 +136,43 @@ def measure(family: str, dtype_name: str, batch: int, layout: str = "auto") -> f
 
             return jax.jit(chain_fn)
 
-    # Differential protocol: time chains of N and 2N forwards; the fixed
-    # per-dispatch cost (relay round-trip + launch + scalar fetch, ~30-40ms
-    # here) appears once in EACH wall time and cancels in the difference,
-    # so per-forward time carries zero dispatch bias at any chain length.
+    per_forward = differential_seconds_per_step(
+        make_chain, (params, imgs), inner, label=family
+    )
+    return batch / per_forward
+
+
+def differential_seconds_per_step(make_chain, args, inner, *,
+                                  repeats=None, label=""):
+    """Differential chained-loop protocol: time chains of N and 2N steps;
+    the fixed per-dispatch cost (relay round-trip + launch + scalar fetch,
+    ~30-40ms here) appears once in EACH wall time and cancels in the
+    difference, so per-step time carries zero dispatch bias at any chain
+    length.  ``make_chain(n)`` must return a jitted callable over ``args``
+    whose scalar result depends on all n steps."""
     chain1, chain2 = make_chain(inner), make_chain(2 * inner)
-    float(chain1(params, imgs))  # compile + first run
-    float(chain2(params, imgs))
+    float(chain1(*args))  # compile + first run
+    float(chain2(*args))
 
     def best_wall(chain):
         best = float("inf")
-        for _ in range(REPEATS):
+        for _ in range(repeats or REPEATS):
             t0 = time.perf_counter()
-            float(chain(params, imgs))  # scalar fetch = completion barrier
+            float(chain(*args))  # scalar fetch = completion barrier
             best = min(best, time.perf_counter() - t0)
         return best
 
     t1, t2 = best_wall(chain1), best_wall(chain2)
     # Sanity: the 2N chain must take meaningfully longer than the N chain
     # (ideally ~2x).  If relay jitter swamps the difference the quotient is
-    # garbage — refuse to print a number rather than record noise.
+    # garbage — refuse to report a number rather than record noise.
     if t2 < 1.2 * t1:
         raise RuntimeError(
-            f"differential timing unusable: wall(N)={t1:.4f}s "
-            f"wall(2N)={t2:.4f}s — relay jitter exceeds the chain time; "
-            f"raise INNER['{family}'] or rerun"
+            f"differential timing unusable ({label}): wall(N)={t1:.4f}s "
+            f"wall(2N)={t2:.4f}s — dispatch jitter exceeds the chain time; "
+            "raise the chain length or rerun"
         )
-    per_forward = (t2 - t1) / inner
-    return batch / per_forward
+    return (t2 - t1) / inner
 
 
 def result_line(family: str, dtype_name: str, ips: float) -> dict:

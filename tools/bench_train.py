@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Single-chip training-step throughput (img/s) per family.
 
-Same chained device-loop protocol as bench.py, but the data dependence is
-natural: ``lax.fori_loop`` carries the TrainState, so iteration i+1's
-gradients depend on iteration i's weights.  Measures the full production
-train step (fwd + bwd + AdamW update + BN running-stat merge + dropout where
-the family has sites) on synthetic normalized batches.
+Same differential chained device-loop protocol as bench.py (N-vs-2N chains
+cancel the fixed dispatch cost), with natural data dependence:
+``lax.fori_loop`` carries the TrainState, so iteration i+1's gradients
+depend on iteration i's weights.  Measures the full production train step
+(fwd + bwd + AdamW update + BN running-stat merge + dropout where the
+family has sites) on synthetic normalized batches.
 
     python tools/bench_train.py [--family pmg] [--batch 256] [--record]
 
@@ -16,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -26,7 +26,7 @@ FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 64}
 # bf16 halves activation memory: RTM sustains (and prefers) batch 256
 # (sweep 2026-08-16: 64 -> 1579, 128 -> 1880, 256 -> 2072 img/s)
 BF16_FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 256}
-INNER = {"pmg": 50, "pm": 10, "rtm": 5}
+INNER = {"pmg": 50, "pm": 20, "rtm": 10}  # short chain; 2x also timed
 REPEATS = 3
 
 
@@ -52,24 +52,24 @@ def measure(family: str, batch: int, bf16: bool = False) -> float:
     labels = jnp.asarray(labels_np)
     inner = INNER[family]
 
-    def chain(state, images, labels):
-        def one(i, st):
-            st2, _ = step_fn(st, images, labels)
-            return st2
+    def make_chain(n):
+        def chain(state, images, labels):
+            def one(i, st):
+                st2, _ = step_fn(st, images, labels)
+                return st2
 
-        st = jax.lax.fori_loop(0, inner, one, state)
-        # scalar that depends on the whole weight chain
-        leaf = jax.tree_util.tree_leaves(st.params)[0]
-        return jnp.sum(leaf).astype(jnp.float32)
+            st = jax.lax.fori_loop(0, n, one, state)
+            # scalar that depends on the whole weight chain
+            leaf = jax.tree_util.tree_leaves(st.params)[0]
+            return jnp.sum(leaf).astype(jnp.float32)
 
-    cchain = jax.jit(chain)
-    float(cchain(state, images, labels))  # compile + warm
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(cchain(state, images, labels))
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return batch / best
+        return jax.jit(chain)
+
+    per_step = bench.differential_seconds_per_step(
+        make_chain, (state, images, labels), inner,
+        repeats=REPEATS, label=f"train/{family}",
+    )
+    return batch / per_step
 
 
 def main():
@@ -81,6 +81,10 @@ def main():
     ap.add_argument("--record", action="store_true",
                     help="write results/bench_train.json")
     args = ap.parse_args()
+
+    from wadt.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     fams = ("pmg", "pm", "rtm") if args.family == "all" else (args.family,)
     out = {}

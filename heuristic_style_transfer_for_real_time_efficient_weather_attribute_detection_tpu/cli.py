@@ -24,6 +24,7 @@ from typing import Any, Dict
 MODES = [
     "classifier", "tsne", "tsne_interactive", "clustering", "camera",
     "benchmark", "folder", "watch_folder", "inference", "train", "serve",
+    "export",
 ]
 
 
@@ -150,6 +151,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="per-request inference timeout (504 on expiry)")
     p.add_argument("--max_queue", type=int, default=None,
                    help="pending-request cap before 503 (default 2*batch*depth)")
+    # export mode (AOT serving artifact)
+    p.add_argument("--export_dir", type=str, default=None,
+                   help="export mode: artifact output dir "
+                        "(default save_dir/exported)")
+    p.add_argument("--export_platforms", type=str, default="cpu,tpu",
+                   help="export mode: comma-separated lowering targets")
     # RTM architecture flags
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--attn_token_dim", type=int, default=None)
@@ -319,6 +326,19 @@ def main(argv=None) -> int:
                         max_body_bytes=int(args.max_body_mb * 1024 * 1024),
                         result_timeout_s=args.result_timeout_s,
                         max_queue=args.max_queue).serve_forever()
+
+    elif args.mode == "export":
+        from .engine.export import export_engine
+
+        out = args.export_dir or os.path.join(args.save_dir, "exported")
+        meta = export_engine(
+            engine, out,
+            platforms=tuple(
+                s.strip() for s in args.export_platforms.split(",") if s.strip()
+            ),
+        )
+        print(f"exported {meta['family']} forward (batch {meta['batch_size']}, "
+              f"platforms {','.join(meta['platforms'])}) -> {out}")
 
     elif args.mode == "benchmark":
         from .workloads.benchmark import run_benchmark

@@ -1,3 +1,3 @@
 """Execution engine: jitted executors, checkpoint I/O, loss/metrics kernels."""
 
-from . import checkpoint, executor  # noqa: F401
+from . import checkpoint, executor, export  # noqa: F401

@@ -1,0 +1,183 @@
+"""AOT export of the compiled serving forward (``jax.export`` / StableHLO).
+
+Production-deployment path the reference does not have: the engine's jitted
+uint8 -> probs/preds step is lowered once, with the run-precision weights
+baked in as module constants, serialized to a self-describing artifact
+directory, and reloaded WITHOUT the model code or a checkpoint — the
+serialized StableHLO module plus a small JSON sidecar is everything a
+serving box needs.  Multi-platform lowering (``platforms=("cpu","tpu")`` by
+default) makes one artifact loadable on a TPU worker and on a CPU dev
+machine alike; ``jax.export`` guarantees forward compatibility across jax
+releases for serialized modules.
+
+The reference's closest workflow is re-instantiating the torch model from
+source and loading a ``.pth`` every time (Weather_Detection.py:24-44); this
+replaces both steps for inference fleets.
+
+Artifact layout (``export_engine``):
+    <dir>/forward.jaxexport   serialized jax.export module (weights inline)
+    <dir>/export_meta.json    wire format, batch size, tasks, thresholds
+
+Usage:
+    export_engine(engine, "artifact/")                     # build side
+    pred = ExportedPredictor("artifact/")                  # serving side
+    out = pred.run(images_uint8)                           # probs/preds
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+
+from ..config import IGNORE_INDEX
+
+_FORMAT_VERSION = 1
+_BLOB = "forward.jaxexport"
+_META = "export_meta.json"
+
+# the exported step returns exactly these (label-dependent outputs like
+# loss_per_task need labels and stay engine-only); capture taps the engine
+# was built with ride along
+_SERVE_KEYS = ("logits", "probs", "max_probs", "preds")
+
+
+def export_engine(
+    engine,
+    out_dir: str,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    img_size: int = 224,
+) -> Dict[str, object]:
+    """Serialize ``engine``'s compiled forward to ``out_dir``.
+
+    The engine's run-precision params become constants of the exported
+    module.  Mesh-sharded engines are refused — an exported module pins the
+    device topology, so export the single-device engine and shard at the
+    serving layer instead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if engine.mesh is not None:
+        raise ValueError(
+            "export_engine needs a single-device engine (mesh=None); "
+            "exported modules pin the topology they were lowered for"
+        )
+
+    run_params = engine._run_params
+    jitted = engine._jit
+    bs = engine.batch_size
+    n_tasks = len(engine.tasks)
+    ignore = np.full((bs, n_tasks), IGNORE_INDEX, np.int32)
+    keep = _SERVE_KEYS + engine.capture
+
+    def serve_step(images):
+        out = jitted(run_params, images, ignore)
+        return {k: out[k] for k in keep if k in out}
+
+    if engine.pack_k is not None:
+        k = engine.pack_k
+        in_shape = (bs, img_size // k, img_size // k, k * k * 3)
+    else:
+        in_shape = (bs, img_size, img_size, 3)
+    arg = jax.ShapeDtypeStruct(in_shape, jnp.uint8)
+    exported = jax.export.export(
+        jax.jit(serve_step), platforms=list(platforms)
+    )(arg)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "family": engine.family,
+        "batch_size": bs,
+        "input_shape": list(in_shape),
+        "pack_k": engine.pack_k,
+        "prob_threshold": engine.prob_threshold,
+        "dtype": np.dtype(engine.dtype).name,
+        "outputs": [k for k in keep],
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "tasks": {
+            "names": list(engine.tasks.names),
+            "num_classes": list(engine.tasks.num_classes),
+            "class_names": [list(c) for c in engine.tasks.class_names],
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _BLOB), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ExportedPredictor:
+    """Serving-side loader for an :func:`export_engine` artifact.
+
+    Mirrors the host-side contract of ``Engine.run`` (uint8 NHWC in, host
+    numpy out, tail batch padded) without needing the model family code or
+    a checkpoint — only the artifact directory.
+    """
+
+    def __init__(self, artifact_dir: str):
+        import jax
+
+        with open(os.path.join(artifact_dir, _META)) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported export format {self.meta.get('format_version')} "
+                f"(this build reads {_FORMAT_VERSION})"
+            )
+        with open(os.path.join(artifact_dir, _BLOB), "rb") as f:
+            self._exported = jax.export.deserialize(f.read())
+        self.batch_size = int(self.meta["batch_size"])
+        self.pack_k = self.meta["pack_k"]
+        self.task_names = list(self.meta["tasks"]["names"])
+        self.class_names = [list(c) for c in self.meta["tasks"]["class_names"]]
+        self._call = self._exported.call
+
+    def _pack(self, images: np.ndarray) -> np.ndarray:
+        if images.ndim != 4 or images.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 NHWC images, got {images.dtype} "
+                f"{getattr(images, 'shape', None)}"
+            )
+        if self.pack_k is not None and images.shape[-1] == 3:
+            from ..ops.preprocess import s2d_pack_uint8
+
+            images = s2d_pack_uint8(images, self.pack_k)
+        expect = tuple(self.meta["input_shape"][1:])
+        if tuple(images.shape[1:]) != expect:
+            raise ValueError(
+                f"exported module takes [N,{','.join(map(str, expect))}] "
+                f"uint8 (raw [N,224,224,3] accepted when packed); got "
+                f"{images.shape}"
+            )
+        return images
+
+    def run(
+        self,
+        images: np.ndarray,
+        collect: Sequence[str] = ("probs", "preds"),
+    ) -> Dict[str, np.ndarray]:
+        """Forward N images (any N) -> host dict of stacked arrays [N, ...]."""
+        import jax
+
+        images = self._pack(images)
+        n = images.shape[0]
+        bs = self.batch_size
+        outs = {k: [] for k in collect}
+        for i in range(0, n, bs):
+            chunk = images[i : i + bs]
+            take = chunk.shape[0]
+            if take < bs:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - take,) + chunk.shape[1:], chunk.dtype)]
+                )
+            res = self._call(chunk)
+            host = jax.device_get(res)
+            for k in collect:
+                outs[k].append(np.asarray(host[k])[:take])
+        return {k: np.concatenate(v) if v else np.empty((0,)) for k, v in outs.items()}

@@ -102,3 +102,18 @@ def test_jit_determinism(env):
     a = eng.run(imgs, collect=("logits",))["logits"]
     b = eng.run(imgs, collect=("logits",))["logits"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_export_mode(env):
+    base, synth, root = _base(env)
+    save = os.path.join(root, "aot")
+    rc = main(base + ["--mode", "export", "--save_dir", save,
+                      "--export_platforms", "cpu"])
+    assert rc == 0
+    out = os.path.join(save, "exported")
+    assert os.path.exists(os.path.join(out, "forward.jaxexport"))
+    from wadt.engine.export import ExportedPredictor
+
+    pred = ExportedPredictor(out)
+    res = pred.run(np.zeros((2, 224, 224, 3), np.uint8))
+    assert res["preds"].shape == (2, len(pred.task_names))

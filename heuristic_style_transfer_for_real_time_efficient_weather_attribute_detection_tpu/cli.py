@@ -35,8 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("family", choices=["pm", "pmg", "rtm"], help="model family")
     p.add_argument("--data", type=str, help="dataset manifest JSON")
-    p.add_argument("--build_classifier", type=str, required=True,
-                   help="tasks/classes registry JSON")
+    p.add_argument("--build_classifier", type=str, default=None,
+                   help="tasks/classes registry JSON (required except for "
+                        "`--mode serve --exported`, which reads tasks from "
+                        "the artifact)")
     p.add_argument("--model_path", type=str, default=None,
                    help=".pth / .npz checkpoint (omit for random init)")
     p.add_argument("--config_path", type=str, default=None, help="hparams JSON")
@@ -157,6 +159,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(default save_dir/exported)")
     p.add_argument("--export_platforms", type=str, default="cpu,tpu",
                    help="export mode: comma-separated lowering targets")
+    p.add_argument("--exported", type=str, default=None,
+                   help="serve mode: serve from an AOT export artifact dir "
+                        "(no model code / checkpoint load)")
     # RTM architecture flags
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--attn_token_dim", type=int, default=None)
@@ -273,6 +278,25 @@ def make_loader(args, engine):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     os.makedirs(args.save_dir, exist_ok=True)
+
+    if args.mode == "serve" and args.exported:
+        # artifact serving: tasks/weights live in the exported module — no
+        # registry, model code, or checkpoint load
+        from .engine.export import ExportedPredictor
+        from .workloads.serve import InferenceServer
+
+        pred = ExportedPredictor(args.exported)
+        pred.warmup()
+        InferenceServer(pred, host=args.host, port=args.port,
+                        prob_threshold=args.prob_threshold,
+                        max_wait_ms=args.max_wait_ms,
+                        max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+                        result_timeout_s=args.result_timeout_s,
+                        max_queue=args.max_queue).serve_forever()
+        return 0
+
+    if not args.build_classifier:
+        raise ValueError("--build_classifier is required for this mode")
     engine = build_engine(args)
     tasks_dict = engine.tasks.as_dict()
 

@@ -115,13 +115,18 @@ def export_engine(
 class ExportedPredictor:
     """Serving-side loader for an :func:`export_engine` artifact.
 
-    Mirrors the host-side contract of ``Engine.run`` (uint8 NHWC in, host
-    numpy out, tail batch padded) without needing the model family code or
-    a checkpoint — only the artifact directory.
+    Mirrors the host-side contract of ``Engine`` — ``run`` (uint8 NHWC in,
+    host numpy out, tail batch padded) plus the pipelined
+    ``dispatch``/``fetch`` pair the AsyncBatcher drives — without needing
+    the model family code or a checkpoint, only the artifact directory.
+    ``InferenceServer(ExportedPredictor(dir))`` therefore serves straight
+    from the artifact (CLI: ``--mode serve --exported <dir>``).
     """
 
     def __init__(self, artifact_dir: str):
         import jax
+
+        from ..config import TaskSpec
 
         with open(os.path.join(artifact_dir, _META)) as f:
             self.meta = json.load(f)
@@ -134,9 +139,29 @@ class ExportedPredictor:
             self._exported = jax.export.deserialize(f.read())
         self.batch_size = int(self.meta["batch_size"])
         self.pack_k = self.meta["pack_k"]
-        self.task_names = list(self.meta["tasks"]["names"])
-        self.class_names = [list(c) for c in self.meta["tasks"]["class_names"]]
+        self.family = self.meta["family"]
+        t = self.meta["tasks"]
+        self.tasks = TaskSpec(
+            names=tuple(t["names"]),
+            num_classes=tuple(int(k) for k in t["num_classes"]),
+            class_names=tuple(tuple(c) for c in t["class_names"]),
+        )
+        self.task_names = list(t["names"])
+        self.class_names = [list(c) for c in t["class_names"]]
         self._call = self._exported.call
+
+    def warmup(self, img_size: int = 224) -> None:
+        """Force the first (compiling) execution to FINISH before serving.
+
+        Must fetch the result synchronously: on the axon relay
+        ``block_until_ready`` can return before device execution completes
+        (CLAUDE.md), which would leave the remote compile to land on the
+        first real request and blow the batcher's result timeout.
+        """
+        import jax
+
+        shape = tuple(self.meta["input_shape"])
+        jax.device_get(self._call(np.zeros(shape, np.uint8)))
 
     def _pack(self, images: np.ndarray) -> np.ndarray:
         if images.ndim != 4 or images.dtype != np.uint8:
@@ -156,6 +181,47 @@ class ExportedPredictor:
                 f"{images.shape}"
             )
         return images
+
+    def dispatch(
+        self,
+        images: np.ndarray,
+        labels=None,
+        collect: Sequence[str] = ("probs", "preds"),
+    ):
+        """Engine.dispatch-compatible: enqueue one micro-batch and start its
+        device->host result copy asynchronously; returns a handle for
+        :meth:`fetch`.  Labels are not part of the exported module (it bakes
+        ignore-labels in); passing any raises."""
+        if labels is not None:
+            raise ValueError(
+                "exported modules carry no label inputs; evaluate with the "
+                "live Engine instead"
+            )
+        images = self._pack(images)
+        n = images.shape[0]
+        bs = self.batch_size
+        if n > bs:
+            raise ValueError(f"micro-batch {n} > exported batch {bs}")
+        if n < bs:
+            images = np.concatenate(
+                [images, np.zeros((bs - n,) + images.shape[1:], images.dtype)]
+            )
+        res = self._call(images)
+        picked = {k: res[k] for k in collect}
+        for v in picked.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
+        return n, picked
+
+    def fetch(self, handle) -> Dict[str, np.ndarray]:
+        """Materialize a :meth:`dispatch` handle -> host arrays [n, ...]."""
+        import jax
+
+        take, res = handle
+        host = jax.device_get(res)
+        return {k: np.asarray(v)[:take] for k, v in host.items()}
 
     def run(
         self,

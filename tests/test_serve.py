@@ -157,3 +157,48 @@ def test_overload_503_with_retry_after(server, monkeypatch):
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 503
     assert exc.value.headers.get("Retry-After") == "1"
+
+
+@pytest.fixture(scope="module")
+def exported_server(tmp_path_factory):
+    """Server running straight off an AOT export artifact (no Engine)."""
+    import jax
+
+    from wadt.engine.export import ExportedPredictor, export_engine
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    engine = Engine("pmg", spec, params, batch_size=8)
+    art = str(tmp_path_factory.mktemp("aot"))
+    export_engine(engine, art, platforms=("cpu",))
+    pred = ExportedPredictor(art)
+    pred.warmup()
+    srv = InferenceServer(pred, host="127.0.0.1", port=0, prob_threshold=0.0)
+    srv.start()
+    yield srv, engine
+    srv.stop()
+
+
+def test_exported_artifact_serving(exported_server):
+    srv, engine = exported_server
+    code, health = _get(srv, "/healthz")
+    assert code == 200 and health["model"] == "pmg" and health["tasks"] == 2
+
+    code, out = _post_image(srv, _jpeg_bytes(3))
+    assert code == 200
+    pred = out["prediction"]
+    assert set(pred) == {"A", "B"}
+    for t, classes in TASKS.items():
+        probs = pred[t]["probs"]
+        assert set(probs) == set(classes)
+        assert abs(sum(probs.values()) - 1.0) < 1e-3
+        assert pred[t]["predicted_class"] in classes  # threshold 0 -> never Unknown
+
+
+def test_exported_dispatch_rejects_labels(exported_server):
+    srv, _ = exported_server
+    with pytest.raises(ValueError, match="no label inputs"):
+        srv.batcher.engine.dispatch(
+            np.zeros((2, 224, 224, 3), np.uint8),
+            labels=np.zeros((2, 2), np.int32),
+        )

@@ -1,11 +1,15 @@
 """Full-pipeline accuracy parity vs the live PyTorch reference.
 
 Runs the reference's own loops and ours on identical data+weights and diffs
-the artifacts (tools/compare_with_reference.py), covering all four modes:
-pmg/pm/rtm classifier eval (metrics_test.json) AND benchmark mode
+the artifacts (tools/compare_with_reference.py), covering six modes:
+pmg/pm/rtm classifier eval (metrics_test.json), benchmark mode
 (utils/benchmark_utils.py:16-208 `test_benchmark_folder` vs
 workloads/run_benchmark — benchmark_summary.json + best_mapping.json under
-both the JSON mapping and auto-mapping).  Slow (~3 min: the reference
+both the JSON mapping and auto-mapping), folder inference
+(Functions/PM_evaluation.py:189 `run_inference` — inference_results.json),
+and folder predictions (Functions/PM_evaluation.py:645
+`test_folder_predictions` — folder_predictions.json + all_predictions.json).
+Slow (~3 min: the reference
 evaluates eagerly on CPU) and needs /root/reference, so it is opt-in:
 WADT_REFERENCE_PARITY=1 python -m pytest tests/test_reference_parity.py
 """

@@ -406,6 +406,85 @@ def run_ours_family(family, hparams, synth, weights_pth, out_dir):
     return os.path.join(out_dir, "metrics_test.json")
 
 
+def run_reference_inference(synth, weights_pth, out_dir, tasks):
+    """Reference folder-inference mode (PM CLI path: test_PM.py:221 ->
+    Functions/PM_evaluation.py:189 run_inference, Grad-CAM off) ->
+    inference_results.json keyed by image path."""
+    import torch
+
+    from Functions.PM_evaluation import run_inference as ref_run_inference
+    from Models.models_PM import MultiTaskPatchGAN
+    from utils.datasets_utils import build_default_transform
+
+    ncpt = {t: len(c) for t, c in tasks.items()}
+    model = MultiTaskPatchGAN(tasks_dict=ncpt, input_nc=3, device="cpu",
+                              **PM_TINY)
+    model.load_state_dict(torch.load(weights_pth))
+    model.eval()
+    ref_run_inference(model, os.path.join(synth, "images"),
+                      build_default_transform(224), torch.device("cpu"),
+                      tasks, save_dir=out_dir)
+    return os.path.join(out_dir, "inference_results.json")
+
+
+def run_reference_folder_predictions(synth, weights_pth, out_dir, tasks):
+    """Reference folder-predictions mode (test_PM.py:211 ->
+    Functions/PM_evaluation.py:645 test_folder_predictions) ->
+    folder_predictions.json + all_predictions.json."""
+    import torch
+
+    from Functions.PM_evaluation import test_folder_predictions as ref_tfp
+    from Models.models_PM import MultiTaskPatchGAN
+    from utils.datasets_utils import build_default_transform
+
+    ncpt = {t: len(c) for t, c in tasks.items()}
+    model = MultiTaskPatchGAN(tasks_dict=ncpt, input_nc=3, device="cpu",
+                              **PM_TINY)
+    model.load_state_dict(torch.load(weights_pth))
+    model.eval()
+    os.makedirs(out_dir, exist_ok=True)  # the reference CLI pre-creates it
+    ref_tfp(model, tasks, os.path.join(synth, "images"),
+            build_default_transform(224), torch.device("cpu"), out_dir)
+    return out_dir
+
+
+def _build_our_engine(family, hparams, synth, weights_pth, batch_size=4):
+    import wadt  # noqa: F401
+    from wadt.config import enable_parity_precision, load_tasks
+    from wadt.engine import checkpoint
+    from wadt.engine.executor import Engine
+    from wadt.models import get_family
+
+    enable_parity_precision()
+    tasks = load_tasks(os.path.join(synth, "tasks.json"))
+    spec = get_family(family).build_spec(tasks, hparams)
+    params = checkpoint.load_torch_checkpoint(family, weights_pth, spec)
+    return Engine(family, spec, params, batch_size=batch_size)
+
+
+def run_ours_inference(synth, weights_pth, out_dir):
+    from wadt.workloads.inference import run_inference
+
+    engine = _build_our_engine("pm", PM_TINY, synth, weights_pth)
+    run_inference(engine, os.path.join(synth, "images"), save_dir=out_dir)
+    return os.path.join(out_dir, "inference_results.json")
+
+
+def run_ours_folder_predictions(synth, weights_pth, out_dir):
+    from wadt.workloads.inference import test_folder_predictions
+
+    engine = _build_our_engine("pm", PM_TINY, synth, weights_pth)
+    test_folder_predictions(engine, os.path.join(synth, "images"), out_dir)
+    return out_dir
+
+
+def compare_json_files(ref_path, our_path, atol=1e-6):
+    fails = []
+    _diff_json(json.load(open(ref_path)), json.load(open(our_path)),
+               os.path.basename(ref_path), fails, atol)
+    return fails
+
+
 def compare_artifact_names(ref_dir, our_dir):
     """Filename parity: every artifact the reference pipeline wrote must
     exist (same relative path) in our output tree (we may write extras).
@@ -449,6 +528,7 @@ def main():
     synth = make_synth(os.path.join(base, "synth"), n_per_class=5, size=96,
                        full_labels=True)
     sys.path.insert(0, REFERENCE)
+    _stub_missing_modules()
     with open(os.path.join(synth, "tasks.json")) as f:
         tasks = json.load(f)
     ncpt = {t: len(c) for t, c in tasks.items()}
@@ -536,6 +616,29 @@ def main():
         print(f"[pm] artifact filename diff: {len(missing)} reference-only files")
         print(f"[pm] per-task acc/P/R/F1 diff: {len(fails)} failures")
 
+        # Folder-inference mode: inference_results.json keyed by image path,
+        # per-task {predicted_class, probability} — exact class + 1e-6 prob.
+        ref_json = run_reference_inference(
+            synth, weights, os.path.join(base, "inf_ref"), tasks)
+        our_json = run_ours_inference(synth, weights,
+                                      os.path.join(base, "inf_ours"))
+        fails = compare_json_files(ref_json, our_json)
+        all_fails += [("inference/" + n, a, b) for n, a, b in fails]
+        print(f"[inference] inference_results.json diff: {len(fails)} failures")
+
+        # Folder-predictions mode: per-class counts + F1 from folder-name GT
+        # (folder_predictions.json) + per-image dump (all_predictions.json).
+        ref_dir = os.path.join(base, "fp_ref")
+        our_dir = os.path.join(base, "fp_ours")
+        run_reference_folder_predictions(synth, weights, ref_dir, tasks)
+        run_ours_folder_predictions(synth, weights, our_dir)
+        fails = []
+        for name in ("folder_predictions.json", "all_predictions.json"):
+            fails += compare_json_files(os.path.join(ref_dir, name),
+                                        os.path.join(our_dir, name))
+        all_fails += [("folder_predictions/" + n, a, b) for n, a, b in fails]
+        print(f"[folder_predictions] both JSONs diff: {len(fails)} failures")
+
     if "rtm" in families:
         from Models.models_RTM import MultiHeadAttentionPerTaskModel
 
@@ -575,7 +678,9 @@ def main():
           "acc/P/R/F1, confusion, macro/micro/per-class AUC); PM and RTM "
           "per-task acc/P/R/F1 identical vs their reference pipelines; "
           "benchmark mode benchmark_summary.json + best_mapping.json "
-          "identical under JSON mapping AND auto-mapping.")
+          "identical under JSON mapping AND auto-mapping; folder-inference "
+          "inference_results.json and folder-predictions "
+          "folder_predictions.json + all_predictions.json identical (PM).")
 
 
 if __name__ == "__main__":

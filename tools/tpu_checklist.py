@@ -152,6 +152,48 @@ def check_rtm_folded_stream_parity() -> bool:
     return ok
 
 
+def check_export_parity() -> bool:
+    """The AOT serving artifact (engine/export.py) must reproduce the live
+    Engine's predictions on-chip (README's 'verified on-chip' claim is THIS
+    check).  Gate: argmax preds identical on every image x task, probs
+    within 2e-3.  Probs are NOT bit-exact: the exported module bakes the
+    weights in as constants, so XLA makes different fusion/reassociation
+    choices than for the live parameterized program, and under the default
+    fast (bf16-dot) matmul precision that reorders reductions (measured
+    ~7e-4 max prob drift on the shipped PMG)."""
+    import tempfile
+
+    import numpy as np
+
+    import wadt  # noqa: F401
+    from wadt.engine import checkpoint
+    from wadt.engine.executor import Engine
+    from wadt.engine.export import ExportedPredictor, export_engine
+    from wadt.models import get_family
+
+    meta = json.load(open(os.path.join(FIXTURES, "pmg_shipped.json")))
+    mod = get_family("pmg")
+    spec = mod.build_spec(meta["tasks"], meta["hparams"])
+    params = checkpoint.load_torch_checkpoint(
+        "pmg", os.path.join(FIXTURES, "pmg_shipped.pth"), spec
+    )
+    engine = Engine("pmg", spec, params, batch_size=8)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (11, 224, 224, 3), np.uint8
+    )
+    want = engine.run(imgs)
+    with tempfile.TemporaryDirectory() as d:
+        export_engine(engine, d, platforms=("cpu", "tpu"))
+        pred = ExportedPredictor(d)
+        pred.warmup()
+        got = pred.run(imgs)
+    prob_diff = float(np.abs(got["probs"] - want["probs"]).max())
+    preds_eq = bool((got["preds"] == want["preds"]).all())
+    print(f"  [export] artifact vs live engine: preds "
+          f"{'ok' if preds_eq else 'DIFF'}, max prob diff {prob_diff:.2e}")
+    return preds_eq and prob_diff < 2e-3
+
+
 def check_mixed_precision_train() -> bool:
     """The bf16-compute train step (CPU CI only traces it — execution needs
     bf16 dots): 8 steps on a tiny PMG must reduce the loss and keep the
@@ -223,6 +265,9 @@ def main() -> int:
         ("mixed_precision_train",
          "mixed-precision train step (bf16 compute, f32 master)",
          check_mixed_precision_train),
+        ("export_parity",
+         "AOT export artifact reproduces the live engine exactly",
+         check_export_parity),
         ("packed_stream_parity",
          "PMG streaming paths parity (fused + packed; pins full-f32 "
          "precision for the packed bit-exact check)",

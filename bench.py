@@ -185,6 +185,47 @@ def result_line(family: str, dtype_name: str, ips: float) -> dict:
     }
 
 
+def wait_for_healthy_device(deadline_s: float = 900.0) -> None:
+    """Bounded wait for the TPU relay to recover from a wedge.
+
+    The rig's relay occasionally wedges: ``jax.devices()`` works but any
+    execution hangs forever with 0 CPU (CLAUDE.md).  A hang here would
+    leave the driver's end-of-round bench with no recorded number at all,
+    so before building anything we probe with a tiny matmul in a
+    SUBPROCESS (the only way to bound a hung execution) and retry until
+    ``deadline_s``.  On a healthy device the first probe passes in ~10 s
+    and we proceed immediately; if the deadline expires we proceed anyway
+    and let the driver's own timeout make the call.
+    """
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))")
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=60,
+                check=True, capture_output=True,
+            )
+            if attempt > 1:
+                print(f"[bench] relay recovered after "
+                      f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            waited = time.perf_counter() - t0
+            if waited > deadline_s:
+                print(f"[bench] device probe still failing after "
+                      f"{waited:.0f}s; proceeding anyway", file=sys.stderr)
+                return
+            print(f"[bench] device probe failed (attempt {attempt}, "
+                  f"{waited:.0f}s) — relay wedge? retrying in 30s",
+                  file=sys.stderr)
+            time.sleep(30)
+
+
 def main():
     # persist compiled executables (~/.cache/wadt/xla_cache): the N/2N
     # chains are 2 programs per config and recompile-free on reruns
@@ -193,6 +234,7 @@ def main():
     )
 
     enable_persistent_compilation_cache()
+    wait_for_healthy_device()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")

@@ -45,7 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=MODES, default="classifier")
     p.add_argument("--batch_size", default=32, type=int)
     p.add_argument("--save_dir", default="results", type=str)
-    p.add_argument("--prob_threshold", default=0.5, type=float)
+    p.add_argument("--prob_threshold", default=None, type=float,
+                   help="min max-probability before a prediction becomes "
+                        "Unknown (default 0.5; `--mode serve --exported` "
+                        "defaults to the artifact's recorded threshold)")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--measure_time", action="store_true")
     p.add_argument("--num_samples", type=int, default=None)
@@ -276,7 +279,8 @@ def make_loader(args, engine):
 
 
 def main(argv=None) -> int:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
     os.makedirs(args.save_dir, exist_ok=True)
 
     if args.mode == "serve" and args.exported:
@@ -286,6 +290,10 @@ def main(argv=None) -> int:
         from .workloads.serve import InferenceServer
 
         pred = ExportedPredictor(args.exported)
+        if args.prob_threshold is None:
+            # the artifact's baked "preds" used this threshold at export
+            # time — serve consistently with it unless explicitly overridden
+            args.prob_threshold = float(pred.meta.get("prob_threshold", 0.5))
         pred.warmup()
         InferenceServer(pred, host=args.host, port=args.port,
                         prob_threshold=args.prob_threshold,
@@ -295,8 +303,10 @@ def main(argv=None) -> int:
                         max_queue=args.max_queue).serve_forever()
         return 0
 
+    if args.prob_threshold is None:
+        args.prob_threshold = 0.5
     if not args.build_classifier:
-        raise ValueError("--build_classifier is required for this mode")
+        parser.error("--build_classifier is required for this mode")
     engine = build_engine(args)
     tasks_dict = engine.tasks.as_dict()
 

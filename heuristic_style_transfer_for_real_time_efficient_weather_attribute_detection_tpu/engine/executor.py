@@ -23,6 +23,59 @@ from ..models import get_family
 from ..ops.preprocess import normalize_uint8
 
 
+def validate_and_pack(images: np.ndarray, pack_k: Optional[int]) -> np.ndarray:
+    """Shared uint8 wire contract for ``Engine`` and ``ExportedPredictor``:
+    uint8 NHWC (device-side normalize), raw [N,H,W,3] space-to-depth packed
+    here when the compiled step takes the packed format, or already-packed
+    channels passed through unchanged."""
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected uint8 NHWC images, got {getattr(images, 'shape', None)}"
+        )
+    if images.dtype != np.uint8:
+        raise ValueError(
+            f"expected uint8 images (device-side normalize); got "
+            f"{images.dtype} — use ops.preprocess.load_image_uint8"
+        )
+    if pack_k is not None:
+        expect_c = pack_k * pack_k * 3
+        if images.shape[-1] == 3:
+            # raw frames: pack here (the BatchLoader's pack_k does this
+            # off-thread in the prefetch workers for the loader paths)
+            from ..ops.preprocess import s2d_pack_uint8
+
+            images = s2d_pack_uint8(images, pack_k)
+        elif images.shape[-1] != expect_c:
+            raise ValueError(
+                f"packed step expects [N,H/{pack_k},W/{pack_k},{expect_c}] "
+                f"or raw [N,H,W,3]; got {images.shape}"
+            )
+    elif images.shape[-1] != 3:
+        raise ValueError(
+            f"expected uint8 NHWC images [N,H,W,3], got {images.shape}"
+        )
+    return images
+
+
+def pad_batch(
+    images: np.ndarray, batch_size: int, labels: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Zero-pad a tail micro-batch (IGNORE-pad its labels) to ``batch_size``
+    rows so arbitrary N never retriggers compilation."""
+    n = images.shape[0]
+    if n < batch_size:
+        pad = batch_size - n
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+        )
+        if labels is not None:
+            labels = np.concatenate(
+                [labels,
+                 np.full((pad, labels.shape[1]), IGNORE_INDEX, labels.dtype)]
+            )
+    return images, labels
+
+
 def class_mask(tasks: TaskSpec) -> np.ndarray:
     """[T, Kmax] bool — True where a class slot is real for the task."""
     m = np.zeros((len(tasks), tasks.max_classes), bool)
@@ -187,34 +240,7 @@ class Engine:
     # -- pipelined micro-batch API (serving) -----------------------------
 
     def _validate_and_pack(self, images: np.ndarray) -> np.ndarray:
-        """Shared run/dispatch input contract: uint8 NHWC (device-side
-        normalize), raw [N,H,W,3] packed here when the engine uses the
-        packed wire format, or already-packed channels."""
-        if images.ndim != 4:
-            raise ValueError(f"expected uint8 NHWC images, got {images.shape}")
-        if images.dtype != np.uint8:
-            raise ValueError(
-                f"Engine expects uint8 images (device-side normalize); "
-                f"got {images.dtype} — use ops.preprocess.load_image_uint8"
-            )
-        if self.pack_k is not None:
-            expect_c = self.pack_k * self.pack_k * 3
-            if images.shape[-1] == 3:
-                # raw frames: pack here (the BatchLoader's pack_k does this
-                # off-thread in the prefetch workers for the loader paths)
-                from ..ops.preprocess import s2d_pack_uint8
-
-                images = s2d_pack_uint8(images, self.pack_k)
-            elif images.shape[-1] != expect_c:
-                raise ValueError(
-                    f"packed engine expects [N,H/{self.pack_k},W/{self.pack_k},"
-                    f"{expect_c}] or raw [N,H,W,3]; got {images.shape}"
-                )
-        elif images.shape[-1] != 3:
-            raise ValueError(
-                f"expected uint8 NHWC images [N,H,W,3], got {images.shape}"
-            )
-        return images
+        return validate_and_pack(images, self.pack_k)
 
     def dispatch(
         self,
@@ -234,16 +260,7 @@ class Engine:
         n = images.shape[0]
         if n > self.batch_size:
             raise ValueError(f"micro-batch {n} > engine batch {self.batch_size}")
-        if n < self.batch_size:
-            pad = self.batch_size - n
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
-            )
-            if labels is not None:
-                labels = np.concatenate(
-                    [labels,
-                     np.full((pad, labels.shape[1]), IGNORE_INDEX, labels.dtype)]
-                )
+        images, labels = pad_batch(images, self.batch_size, labels)
         res = self.step(images, labels)
         keys = set(collect)
         if labels is not None:
@@ -312,17 +329,9 @@ class Engine:
 
         for s in range(0, n, bs):
             e = min(s + bs, n)
-            chunk = images[s:e]
-            lab = labels[s:e] if labels is not None else None
-            if e - s < bs:
-                pad = bs - (e - s)
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                )
-                if lab is not None:
-                    lab = np.concatenate(
-                        [lab, np.full((pad, lab.shape[1]), IGNORE_INDEX, lab.dtype)]
-                    )
+            chunk, lab = pad_batch(
+                images[s:e], bs, labels[s:e] if labels is not None else None
+            )
             t0 = time.perf_counter()
             res = self.step(chunk, lab)
             for k in fetch_keys:

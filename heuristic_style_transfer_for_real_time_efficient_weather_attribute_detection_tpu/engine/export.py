@@ -73,9 +73,18 @@ def export_engine(
     ignore = np.full((bs, n_tasks), IGNORE_INDEX, np.int32)
     keep = _SERVE_KEYS + engine.capture
 
+    # a capture tap may be absent from the family's aux dict, so the traced
+    # module can return FEWER keys than ``keep`` — record what it actually
+    # returns (out_keys) so meta["outputs"] is trustworthy for consumers
+    # asking for "everything the artifact provides"
+    out_keys: list = []
+
     def serve_step(images):
         out = jitted(run_params, images, ignore)
-        return {k: out[k] for k in keep if k in out}
+        picked = {k: out[k] for k in keep if k in out}
+        if not out_keys:
+            out_keys.extend(picked)
+        return picked
 
     if engine.pack_k is not None:
         k = engine.pack_k
@@ -95,7 +104,7 @@ def export_engine(
         "pack_k": engine.pack_k,
         "prob_threshold": engine.prob_threshold,
         "dtype": np.dtype(engine.dtype).name,
-        "outputs": [k for k in keep],
+        "outputs": out_keys,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "tasks": {
@@ -164,15 +173,10 @@ class ExportedPredictor:
         jax.device_get(self._call(np.zeros(shape, np.uint8)))
 
     def _pack(self, images: np.ndarray) -> np.ndarray:
-        if images.ndim != 4 or images.dtype != np.uint8:
-            raise ValueError(
-                f"expected uint8 NHWC images, got {images.dtype} "
-                f"{getattr(images, 'shape', None)}"
-            )
-        if self.pack_k is not None and images.shape[-1] == 3:
-            from ..ops.preprocess import s2d_pack_uint8
+        from .executor import validate_and_pack
 
-            images = s2d_pack_uint8(images, self.pack_k)
+        images = validate_and_pack(images, self.pack_k)
+        # stricter than the live Engine: the exported module pins H/W too
         expect = tuple(self.meta["input_shape"][1:])
         if tuple(images.shape[1:]) != expect:
             raise ValueError(
@@ -197,15 +201,14 @@ class ExportedPredictor:
                 "exported modules carry no label inputs; evaluate with the "
                 "live Engine instead"
             )
+        from .executor import pad_batch
+
         images = self._pack(images)
         n = images.shape[0]
         bs = self.batch_size
         if n > bs:
             raise ValueError(f"micro-batch {n} > exported batch {bs}")
-        if n < bs:
-            images = np.concatenate(
-                [images, np.zeros((bs - n,) + images.shape[1:], images.dtype)]
-            )
+        images, _ = pad_batch(images, bs)
         res = self._call(images)
         picked = {k: res[k] for k in collect}
         for v in picked.values():
@@ -228,22 +231,28 @@ class ExportedPredictor:
         images: np.ndarray,
         collect: Sequence[str] = ("probs", "preds"),
     ) -> Dict[str, np.ndarray]:
-        """Forward N images (any N) -> host dict of stacked arrays [N, ...]."""
-        import jax
+        """Forward N images (any N) -> host dict of stacked arrays [N, ...].
 
+        Pipelined like ``Engine.run``: each batch's D2H result copy starts
+        asynchronously at dispatch and up to 4 batches stay in flight, so
+        the fixed per-fetch result latency (~250 ms over this rig's relay,
+        PCIe on real hardware) overlaps across batches instead of
+        serializing per chunk."""
         images = self._pack(images)
         n = images.shape[0]
         bs = self.batch_size
         outs = {k: [] for k in collect}
-        for i in range(0, n, bs):
-            chunk = images[i : i + bs]
-            take = chunk.shape[0]
-            if take < bs:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bs - take,) + chunk.shape[1:], chunk.dtype)]
-                )
-            res = self._call(chunk)
-            host = jax.device_get(res)
+        inflight = []
+
+        def _drain_one() -> None:
+            host = self.fetch(inflight.pop(0))
             for k in collect:
-                outs[k].append(np.asarray(host[k])[:take])
+                outs[k].append(host[k])
+
+        for i in range(0, n, bs):
+            inflight.append(self.dispatch(images[i : i + bs], collect=collect))
+            if len(inflight) >= 4:
+                _drain_one()
+        while inflight:
+            _drain_one()
         return {k: np.concatenate(v) if v else np.empty((0,)) for k, v in outs.items()}

@@ -101,13 +101,16 @@ class AsyncBatcher:
     def predict(self, image_u8: np.ndarray, timeout: Optional[float] = None) -> Dict:
         return self.submit(image_u8).result(timeout)
 
-    def close(self) -> None:
+    def close(self, timeout: float = 10.0) -> None:
         self._stop.set()
         try:
-            self._queue.put(None, timeout=10)
+            self._queue.put(None, timeout=timeout)
         except queue.Full:
-            pass  # dispatcher dead with a full queue; join below times out
-        self._thread.join(timeout=10)
+            # sentinel dropped against a full queue — the dispatcher's timed
+            # get re-checks _stop, so it still terminates once the backlog
+            # drains (join may outlast ``timeout`` if a dispatch is wedged)
+            pass
+        self._thread.join(timeout=timeout)
 
     def __enter__(self):
         return self
@@ -141,7 +144,19 @@ class AsyncBatcher:
         arrived.
         """
         try:
-            first = self._queue.get(block=block)
+            if block:
+                # timed get re-checking _stop: close()'s sentinel put can be
+                # dropped against a full bounded queue, and this thread must
+                # still terminate once the backlog drains
+                while True:
+                    try:
+                        first = self._queue.get(timeout=0.5)
+                        break
+                    except queue.Empty:
+                        if self._stop.is_set():
+                            return None
+            else:
+                first = self._queue.get_nowait()
         except queue.Empty:
             return []
         if first is None:

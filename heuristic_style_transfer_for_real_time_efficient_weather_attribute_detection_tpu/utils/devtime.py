@@ -45,10 +45,12 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
     # TPU plane preferred; otherwise aggregate over EVERY device plane
     # carrying an "XLA Ops" line (virtual-device CPU runs spread ops across
     # /device:CPU:n planes — counting just one would report a fraction).
-    candidates = [p for p in xs.planes if p.name == "/device:TPU:0"] or [
-        p for p in xs.planes
-        if any(l.name == "XLA Ops" for l in p.lines)
-    ]
+    def has_ops(p):
+        return any(l.name == "XLA Ops" for l in p.lines)
+
+    candidates = [
+        p for p in xs.planes if p.name == "/device:TPU:0" and has_ops(p)
+    ] or [p for p in xs.planes if has_ops(p)]
     if not candidates:
         raise RuntimeError(
             f"no XLA Ops plane in trace (planes: {[p.name for p in xs.planes]})"
@@ -64,6 +66,14 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
                 if name.startswith(("jit_", "%while")):
                     continue
                 agg[name] += ev.duration_ps
+    if not agg:
+        # an empty trace means execution never landed on-device (the relay's
+        # early block_until_ready return) — 0.0 here would get recorded as a
+        # bogus winner by bench_latency --record / divided by in roofline.py
+        raise RuntimeError(
+            "trace has an XLA Ops plane but no op events; device execution "
+            "did not complete inside the trace window"
+        )
     total_ms = sum(agg.values()) / 1e9 / iters
     top = [(t / 1e9 / iters, n) for n, t in agg.most_common(12)]
     return total_ms, top

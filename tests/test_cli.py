@@ -104,6 +104,14 @@ def test_jit_determinism(env):
     np.testing.assert_array_equal(a, b)
 
 
+def test_cli_missing_build_classifier_is_usage_error(env, tmp_path):
+    """Omitting --build_classifier is a CLI usage mistake: argparse usage
+    message + exit code 2, not a Python traceback."""
+    with pytest.raises(SystemExit) as e:
+        main(["pmg", "--mode", "classifier", "--save_dir", str(tmp_path)])
+    assert e.value.code == 2
+
+
 def test_cli_export_mode(env):
     base, synth, root = _base(env)
     save = os.path.join(root, "aot")

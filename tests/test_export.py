@@ -85,6 +85,24 @@ def test_exported_rejects_future_format(artifact, tmp_path):
         ExportedPredictor(str(dst))
 
 
+def test_export_meta_outputs_match_module(engine, tmp_path):
+    """meta["outputs"] records what the exported module actually returns —
+    a capture tap the family never emits must not be advertised, and asking
+    for exactly meta["outputs"] must succeed (the 'everything the artifact
+    provides' idiom)."""
+    eng = Engine(
+        "pmg", engine.spec, engine.params, batch_size=2,
+        capture=("features", "no_such_tap"),
+    )
+    meta = export_engine(eng, str(tmp_path), platforms=("cpu",))
+    assert "features" in meta["outputs"]
+    assert "no_such_tap" not in meta["outputs"]
+    pred = ExportedPredictor(str(tmp_path))
+    imgs = np.zeros((2, 224, 224, 3), np.uint8)
+    out = pred.run(imgs, collect=tuple(pred.meta["outputs"]))
+    assert set(out) == set(meta["outputs"])
+
+
 def test_export_refuses_mesh_engine(engine):
     class _FakeMesh:
         pass

@@ -139,3 +139,28 @@ def test_async_overload_raises():
     finally:
         eng.release.set()
         ab.close()
+
+
+def test_async_close_with_full_queue_still_terminates():
+    """close() against a FULL admission queue drops the shutdown sentinel —
+    the dispatcher's timed get must re-check _stop and terminate once the
+    backlog drains (regression: an untimed blocking get pinned the thread,
+    engine, and latency deque for the process lifetime)."""
+    import time
+
+    eng = _StallEngine()
+    ab = AsyncBatcher(eng, max_batch=1, max_wait_ms=0.0, max_queue=1)
+    img = np.zeros((8, 8, 3), np.uint8)
+    first = ab.submit(img)  # dispatcher takes this one and stalls in dispatch
+    deadline = time.time() + 5
+    while ab._queue.qsize() > 0 and time.time() < deadline:
+        time.sleep(0.01)
+    queued = ab.submit(img)  # fills max_queue=1: the sentinel put must fail
+    ab.close(timeout=0.2)  # returns with the dispatcher still wedged
+    assert ab._thread.is_alive()
+    eng.release.set()
+    ab._thread.join(timeout=10)
+    assert not ab._thread.is_alive()
+    # the backlog was still served on the way down
+    assert first.result(timeout=5)["preds"].shape == (2,)
+    assert queued.result(timeout=5)["preds"].shape == (2,)

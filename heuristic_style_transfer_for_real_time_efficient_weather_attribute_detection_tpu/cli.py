@@ -348,6 +348,8 @@ def main(argv=None) -> int:
                 bf16=args.bf16,
             ),
             init_params=engine.params if args.model_path else None,
+            # --data_parallel: shard train batches over the engine's mesh
+            mesh=engine.mesh,
         )
 
     elif args.mode == "serve":

@@ -269,14 +269,13 @@ def apply_packed(
     remaining u8->f32 convert lowers best via an int32 hop at batch >=64
     and directly below that — also measured there).
     """
-    from ..ops.preprocess import _HOST_SCALE, _HOST_SHIFT
+    from ..ops.preprocess import packed_affine
 
     b0 = spec.plan[0]
     assert supports_packed_input(spec), "first trunk block is overlapping"
     p0 = params["trunk"][0]
     w0 = p0["conv"]["w"].reshape(-1, b0.cout)
-    scale = jnp.asarray(np.tile(_HOST_SCALE, b0.kernel * b0.kernel))
-    shift = jnp.asarray(np.tile(_HOST_SHIFT, b0.kernel * b0.kernel))
+    scale, shift = (jnp.asarray(a) for a in packed_affine(b0.kernel))
     w0f = w0.astype(jnp.float32)
     wf = (scale[:, None] * w0f).astype(w0.dtype)
     bf = -(shift @ w0f)

@@ -12,6 +12,8 @@ inside the jitted forward (``normalize_uint8``).
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -140,14 +142,23 @@ def s2d_pack_uint8(u8: np.ndarray, k: int) -> np.ndarray:
     )
 
 
+def packed_affine(k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(scale, shift) of the uint8 normalize affine ``x*scale - shift``,
+    tiled ``k*k`` times to match the ``s2d_pack_uint8`` channel order.
+
+    The single owner of the packed-affine layout: used by
+    ``normalize_uint8_packed`` and by stem-GEMM folds that bake the affine
+    into weights (models/pmg.apply_packed, tools/exp_pmg_normfold.py)."""
+    return np.tile(_HOST_SCALE, k * k), np.tile(_HOST_SHIFT, k * k)
+
+
 def normalize_uint8_packed(
     z8: jnp.ndarray, k: int, dtype: jnp.dtype = jnp.float32
 ) -> jnp.ndarray:
     """Device normalize for ``s2d_pack_uint8`` output: the per-RGB affine
     tiled k*k times over the packed channel axis."""
-    scale = jnp.asarray(np.tile(_HOST_SCALE, k * k), dtype)
-    shift = jnp.asarray(np.tile(_HOST_SHIFT, k * k), dtype)
-    return z8.astype(dtype) * scale - shift
+    scale, shift = packed_affine(k)
+    return z8.astype(dtype) * jnp.asarray(scale, dtype) - jnp.asarray(shift, dtype)
 
 
 def s2d_unpack_uint8(z8: np.ndarray, k: int) -> np.ndarray:

@@ -63,11 +63,7 @@ def main():
     import bench
     import wadt.models.pmg as pmg
     from wadt.config import enable_persistent_compilation_cache
-    from wadt.ops.preprocess import (
-        _HOST_SCALE,
-        _HOST_SHIFT,
-        s2d_pack_uint8,
-    )
+    from wadt.ops.preprocess import packed_affine, s2d_pack_uint8
     from wadt.utils.devtime import device_time_ms
 
     enable_persistent_compilation_cache()
@@ -77,8 +73,7 @@ def main():
 
     def folded_params(params, dtype):
         """Exact normalize fold: W' = scale*W0, b' = b0 - shift@W0."""
-        scale = np.tile(_HOST_SCALE, k * k).astype(np.float32)
-        shift = np.tile(_HOST_SHIFT, k * k).astype(np.float32)
+        scale, shift = packed_affine(k)
         p0 = params["trunk"][0]
         w0 = np.asarray(p0["conv"]["w"], np.float32).reshape(-1, b0.cout)
         wf = (scale[:, None] * w0).astype(dtype)

@@ -211,15 +211,96 @@ def head_from_gram_tokens(
 
     Re-entry point for the fused trunk+gram streaming kernel
     (ops/pallas_kernels.fused_trunk_gram), which produces exactly the
-    ``patch_gram_tokens`` output.
+    ``patch_gram_tokens`` output.  Accepts either the full param tree or a
+    :func:`fold_head_weights` tree (bf16 / weight-only-int8 ``token_proj``,
+    recognized by its ``w8`` key — the dequant multiplies inside the einsum
+    weight read, which XLA fuses so the dominant [gc^2, d] HBM transfer
+    happens at 1 byte/element).
     """
-    tokens = linear(gram_tokens, params["token_proj"])
+    tp = params["token_proj"]
+    if "w8" in tp:
+        w = tp["w8"].astype(jnp.float32) * tp["scale"]
+        tokens = (
+            jnp.einsum("bnd,dk->bnk", gram_tokens, w,
+                       preferred_element_type=jnp.float32)
+            + tp["b"]
+        )
+    else:
+        tokens = linear(gram_tokens, tp)
     if spec.has_transformer:
         tokens = transformer_encoder(
             tokens, params["transformer"], spec.transformer_heads
         )
     pooled = task_query_pool(tokens, params["queries"])
     return stacked_task_heads(pooled, params["heads"])
+
+
+def fold_head_weights(
+    params: Dict[str, Any], spec: Spec, variant: str = "bf16"
+) -> Dict[str, Any]:
+    """Compressed head weights for the batch=1 streaming fast path.
+
+    At batch=1 everything after the fused trunk+gram kernel is HBM
+    weight-read bound, and ``token_proj`` ([gc^2, d] — 7.1 MB f32 at the
+    shipped config, ~3/4 of the head's traffic) dominates:
+
+    - ``"bf16"``: token_proj + transformer matrix weights stored bfloat16
+      (biases, norms, queries, heads stay f32 — they are KBs).  All
+      contractions keep f32 accumulation (``preferred_element_type`` /
+      dtype promotion), so this halves the reads without changing the
+      accumulate path.
+    - ``"q8"``: token_proj stored weight-only int8 with per-output-column
+      symmetric scales (the RTM attention-fold treatment —
+      models/rtm.fold_stream_weights); transformer as in "bf16".  XLA fuses
+      the dequant into the einsum's weight read (NOT true for conv
+      operands — tools/exp_rtm_trunk_int8.py), so the dominant read drops
+      to 1 byte/element.
+
+    Selection is by recorded measurement (tools/bench_latency.py --record
+    -> kernel_select "pmg_head_fold"), parity-gated on the golden fixtures
+    at record time and at release check time (tools/tpu_checklist.py) via
+    utils/goldens.pmg_head_fold_fixture_parity.
+    """
+    if variant not in ("bf16", "q8"):
+        raise ValueError(f"unknown head fold variant {variant!r}")
+    out: Dict[str, Any] = {
+        "queries": params["queries"],
+        "heads": params["heads"],
+    }
+    tp = params["token_proj"]
+    if variant == "q8":
+        w = tp["w"].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=0)  # per output column
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        out["token_proj"] = {
+            "w8": jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8),
+            "scale": scale,
+            "b": tp["b"],
+        }
+    else:
+        out["token_proj"] = {"w": tp["w"].astype(jnp.bfloat16), "b": tp["b"]}
+    if spec.has_transformer:
+        bf = jnp.bfloat16
+        out["transformer"] = [
+            {
+                "attn": {
+                    "wq": lp["attn"]["wq"].astype(bf),
+                    "wk": lp["attn"]["wk"].astype(bf),
+                    "wv": lp["attn"]["wv"].astype(bf),
+                    "wo": lp["attn"]["wo"].astype(bf),
+                    "bq": lp["attn"]["bq"],
+                    "bk": lp["attn"]["bk"],
+                    "bv": lp["attn"]["bv"],
+                    "bo": lp["attn"]["bo"],
+                },
+                "norm1": lp["norm1"],
+                "norm2": lp["norm2"],
+                "ffn1": {"w": lp["ffn1"]["w"].astype(bf), "b": lp["ffn1"]["b"]},
+                "ffn2": {"w": lp["ffn2"]["w"].astype(bf), "b": lp["ffn2"]["b"]},
+            }
+            for lp in params["transformer"]
+        ]
+    return out
 
 
 def apply_train(

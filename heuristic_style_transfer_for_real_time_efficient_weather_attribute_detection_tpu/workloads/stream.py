@@ -44,7 +44,8 @@ class StreamPredictor:
     """
 
     def __init__(self, family: str, spec, params, use_kalman: bool = False,
-                 dtype=jnp.float32, trunk_kernel: str = "auto"):
+                 dtype=jnp.float32, trunk_kernel: str = "auto",
+                 head_fold: str = "auto"):
         self.tasks: TaskSpec = spec.tasks
         self.use_kalman = use_kalman
         mod = get_family(family)
@@ -91,9 +92,20 @@ class StreamPredictor:
 
         if self._fused:
             from ..models import pmg
+            from ..ops.kernel_select import winner
             from ..ops.pallas_kernels import fold_trunk_gram_weights, fused_trunk_gram
 
             folded = fold_trunk_gram_weights(params, spec)
+            # After the fused trunk+gram kernel the step is head weight-read
+            # bound (token_proj alone is 7.1 MB f32 at the shipped config);
+            # fold_head_weights compresses those reads (bf16 / weight-only
+            # int8).  Selection by recorded measurement, parity-gated at
+            # record time (tools/bench_latency.py --record ->
+            # "pmg_head_fold"); "f32" forces the uncompressed exact head.
+            hsel = (head_fold if head_fold != "auto"
+                    else winner("pmg_head_fold", default="f32"))
+            if hsel in ("bf16", "q8"):
+                params = pmg.fold_head_weights(params, spec, hsel)
 
             @jax.jit
             def step(params, packed_u8, kstate):

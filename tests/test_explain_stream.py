@@ -394,3 +394,53 @@ def test_rtm_stream_folded_matches_generic():
     pq = q8(frame)
     np.testing.assert_allclose(pq, pg, atol=0.02)
     np.testing.assert_array_equal(pq.argmax(-1), pg.argmax(-1))
+
+
+def test_pmg_head_fold_matches_generic(model):
+    """fold_head_weights (bf16 / weight-only-int8 token_proj) must preserve
+    the argmax and stay within compression tolerance of the exact head on
+    the same gram tokens (the fused streaming path's selection gate —
+    utils/goldens.pmg_head_fold_fixture_parity walks the golden fixtures
+    with the same math on the chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    spec, params = model
+    rng = np.random.RandomState(7)
+    tokens = jnp.asarray(
+        rng.randn(2, spec.patch_div ** 2, spec.gram_channels ** 2)
+        .astype(np.float32)
+    )
+    want = np.asarray(pmg.head_from_gram_tokens(params, tokens, spec))
+
+    fb = pmg.fold_head_weights(params, spec, "bf16")
+    assert fb["token_proj"]["w"].dtype == jnp.bfloat16
+    got_b = np.asarray(pmg.head_from_gram_tokens(fb, tokens, spec))
+    np.testing.assert_allclose(got_b, want, atol=0.05, rtol=0.05)
+    np.testing.assert_array_equal(got_b.argmax(-1), want.argmax(-1))
+
+    fq = pmg.fold_head_weights(params, spec, "q8")
+    assert fq["token_proj"]["w8"].dtype == np.int8
+    assert "w" not in fq["token_proj"]  # the 1-byte read is the point
+    got_q = np.asarray(pmg.head_from_gram_tokens(fq, tokens, spec))
+    np.testing.assert_allclose(got_q, want, atol=0.05, rtol=0.05)
+    np.testing.assert_array_equal(got_q.argmax(-1), want.argmax(-1))
+
+    with pytest.raises(ValueError):
+        pmg.fold_head_weights(params, spec, "int4")
+
+
+def test_pmg_head_fold_golden_fixtures():
+    """The head-fold parity walk (the record/release gate) passes on the
+    frozen reference fixtures: argmax identical for both variants."""
+    import wadt
+
+    from wadt.utils.goldens import pmg_head_fold_fixture_parity
+
+    wadt.config.enable_parity_precision()
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    for variant in ("bf16", "q8"):
+        rows = pmg_head_fold_fixture_parity(fixtures, variant)
+        assert rows, "no PMG fixtures found"
+        for name, agree, drift in rows:
+            assert agree, f"{variant} head fold flips argmax on {name} (drift {drift})"

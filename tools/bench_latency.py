@@ -134,26 +134,60 @@ def main():
 
         raw = rng.randint(0, 256, (224, 224, 3), np.uint8)
         results = {}
-        for name in ("packed", "fused"):
-            pred = StreamPredictor("pmg", spec, params, use_kalman=True,
-                                   trunk_kernel=name)
+        # (variant key, StreamPredictor kwargs): the packed GEMM-stem XLA
+        # path, and the fused pallas trunk+gram kernel with each head-weight
+        # compression (f32 exact / bf16 / weight-only int8 token_proj —
+        # models/pmg.fold_head_weights; batch=1 is head weight-read bound
+        # after the trunk kernel).
+        cases = [
+            ("packed", dict(trunk_kernel="packed")),
+            ("fused_f32", dict(trunk_kernel="fused", head_fold="f32")),
+            ("fused_bf16", dict(trunk_kernel="fused", head_fold="bf16")),
+            ("fused_q8", dict(trunk_kernel="fused", head_fold="q8")),
+        ]
+        for name, kw in cases:
+            pred = StreamPredictor("pmg", spec, params, use_kalman=True, **kw)
             inp = jax.device_put(s2d_pack_uint8(raw[None], pred._pack_k))
             t, _ = device_time_ms(
                 lambda p, z, k: pred._step(p, z, k),
                 pred.params, inp, pred.kstate, iters=20,
             )
             results[name] = t * 1e3
-            print(f"streaming step [{name:6s}]: {t*1e3:6.1f} us/frame "
+            print(f"streaming step [{name:10s}]: {t*1e3:6.1f} us/frame "
                   f"(device, incl. softmax+kalman)")
-        if args.record and {"packed", "fused"} <= set(results):
-            win = "pallas" if results["fused"] < results["packed"] else "xla"
+        if args.record and set(results) >= {n for n, _ in cases}:
+            # head-fold selection: fastest fused variant whose compressed
+            # head keeps argmax parity on every PMG golden fixture
+            from wadt.utils.goldens import pmg_head_fold_fixture_parity
+
+            fixtures = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tests", "fixtures")
+            fused = {k[len("fused_"):]: v for k, v in results.items()
+                     if k.startswith("fused_")}
+            for variant in sorted(fused, key=fused.get):
+                if variant == "f32" or all(
+                    agree for _, agree, _
+                    in pmg_head_fold_fixture_parity(fixtures, variant)
+                ):
+                    head_win = variant
+                    break
+                print(f"head fold {variant} fastest but FAILS fixture "
+                      f"argmax parity; trying next")
+            kernel_select.record(
+                "pmg_head_fold", head_win, fused,
+                "batch1 224px shipped, fused trunk+gram step by "
+                "token_proj/transformer weight storage",
+            )
+            win = ("pallas" if fused[head_win] < results["packed"]
+                   else "xla")
             kernel_select.record(
                 "fused_trunk_gram", win,
-                {"xla": results["packed"], "pallas": results["fused"]},
-                "batch1 224px shipped (xla=packed GEMM stem, "
-                "pallas=fused trunk+gram kernel)",
+                {"xla": results["packed"], "pallas": fused[head_win]},
+                "batch1 224px shipped (xla=packed GEMM stem, pallas=fused "
+                f"trunk+gram kernel at head_fold={head_win})",
             )
-            print(f"recorded fused_trunk_gram winner={win} -> "
+            print(f"recorded pmg_head_fold winner={head_win}, "
+                  f"fused_trunk_gram winner={win} -> "
                   f"{kernel_select.RECORD_PATH}")
     except ImportError:
         print("profiler protos unavailable; skipping per-variant device times")

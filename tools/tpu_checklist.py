@@ -108,6 +108,24 @@ def check_packed_stream_parity() -> bool:
         # folded-bf16 weights: ~1e-3 prob drift measured; argmax is the gate
         ok &= agree and drift < 2e-3
 
+    # compressed head weights (models/pmg.fold_head_weights — the fused
+    # step is head weight-read bound): argmax parity on every PMG golden
+    # fixture, same walk bench_latency --record gates selection on
+    from wadt.ops.kernel_select import winner
+    from wadt.utils.goldens import pmg_head_fold_fixture_parity
+
+    for variant in ("bf16", "q8"):
+        rows = pmg_head_fold_fixture_parity(FIXTURES, variant)
+        for name, agree, drift in rows:
+            print(f"  [head-fold {variant}] {name}: "
+                  f"argmax {'ok' if agree else 'DIFF'} drift {drift:.4f}")
+            if not agree and winner("pmg_head_fold", default="f32") != variant:
+                # compression gated at RECORD time: losing parity here only
+                # blocks selecting it, not the release
+                print("    (not the recorded winner; informational)")
+                continue
+            ok &= agree
+
     # correctness check, not a perf run: pin full-f32 matmuls so conv-vs-GEMM
     # reassociation noise (<=5e-4 at the fast default) cannot mask a real bug
     wadt.config.enable_parity_precision()

@@ -20,6 +20,7 @@ stays benchmark-only.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -330,3 +331,178 @@ def fused_trunk_gram(z16: jnp.ndarray, weights, spec,
         interpret=interpret,
     )(z16, *weights)
     return grams.reshape(bsz, div * div, gc * gc)
+
+# ---------------------------------------------------------------------------
+# Fused PMG head (token_proj -> transformer -> query pool -> task heads)
+# ---------------------------------------------------------------------------
+#
+# Companion to fused_trunk_gram for the batch=1 streaming step: after the
+# trunk kernel the step is head weight-read bound (token_proj [gc^2, d] is
+# 7.1 MB f32 at the shipped config) plus ~25 small XLA ops.  This kernel
+# runs the whole head as ONE program on a fold_head_weights tree (bf16 or
+# weight-only-int8 token_proj), so the weights stream HBM->VMEM once with
+# no inter-op gaps.  Mosaic constraints shape the implementation:
+# - no dim-splitting vector shape casts -> multi-head attention never
+#   reshapes [N, D] to [N, h, hd]; each head h is materialized by an iota
+#   LANE MASK: scores_h = (q*mask_h) @ k^T and the per-head outputs
+#   accumulate as sum_h softmax(scores_h) @ (v*mask_h), exact because the
+#   masks are disjoint (the sum IS the concat);
+# - no direct sub-32-bit int -> float casts -> int8 dequant hops via i32;
+# - the [T, D, Kmax] stacked classifier contracts via broadcast-multiply +
+#   axis-reduce (batched 3D dot_general support is version-dependent).
+# Selection is by measurement like every kernel here (tools/bench_latency.py
+# --record -> "pmg_head_fold" variants pallas_bf16/pallas_q8), parity-gated
+# on the golden fixtures through the same utils/goldens walk as the XLA
+# fold variants (utils/goldens.pmg_head_fold_fixture_parity).
+
+
+def _flatten_head_weights(folded, spec) -> Tuple[Tuple[str, ...], Tuple]:
+    """fold_head_weights tree -> (names, flat arrays) for the kernel.
+
+    1-D arrays are shipped as [1, n] so every ref is >= 2-D (TPU vector
+    layout); the kernel broadcasts them back.
+    """
+    import numpy as _np  # noqa: F401  (doc: host-side flattening only)
+
+    def row(a):
+        return a[None, :] if a.ndim == 1 else a
+
+    named = []
+    tp = folded["token_proj"]
+    if "w8" in tp:
+        named += [("tp_w8", tp["w8"]), ("tp_scale", row(tp["scale"]))]
+    else:
+        named += [("tp_w", tp["w"])]
+    named += [("tp_b", row(tp["b"]))]
+    for li, lp in enumerate(folded.get("transformer", ())):
+        p = f"l{li}_"
+        named += [
+            (p + "n1s", row(lp["norm1"]["scale"])),
+            (p + "n1b", row(lp["norm1"]["bias"])),
+            (p + "wq", lp["attn"]["wq"]), (p + "bq", row(lp["attn"]["bq"])),
+            (p + "wk", lp["attn"]["wk"]), (p + "bk", row(lp["attn"]["bk"])),
+            (p + "wv", lp["attn"]["wv"]), (p + "bv", row(lp["attn"]["bv"])),
+            (p + "wo", lp["attn"]["wo"]), (p + "bo", row(lp["attn"]["bo"])),
+            (p + "n2s", row(lp["norm2"]["scale"])),
+            (p + "n2b", row(lp["norm2"]["bias"])),
+            (p + "f1w", lp["ffn1"]["w"]), (p + "f1b", row(lp["ffn1"]["b"])),
+            (p + "f2w", lp["ffn2"]["w"]), (p + "f2b", row(lp["ffn2"]["b"])),
+        ]
+    named += [
+        ("queries", folded["queries"]),
+        ("heads_w", folded["heads"]["w"]),
+        ("heads_b", folded["heads"]["b"]),
+    ]
+    names, arrs = zip(*named)
+    return names, arrs
+
+
+def _head_kernel(*refs, names, spec, q8: bool, n_layers: int):
+    tokens_ref, out_ref = refs[0], refs[-1]
+    w = dict(zip(names, refs[1:-1]))
+
+    def f32(r):
+        return r[...].astype(jnp.float32)
+
+    x_raw = tokens_ref[0]  # [N, gc*gc] f32
+    n = x_raw.shape[0]
+    d = w["queries"].shape[1]
+
+    # token_proj: bf16 MXU dot (tokens cast down; parity-gated), f32 accum
+    if q8:
+        wp = (w["tp_w8"][...].astype(jnp.int32).astype(jnp.bfloat16)
+              * w["tp_scale"][...].astype(jnp.bfloat16))
+    else:
+        wp = w["tp_w"][...]
+    x = jax.lax.dot_general(
+        x_raw.astype(jnp.bfloat16), wp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + w["tp_b"][...]  # [N, d] f32
+
+    heads = spec.transformer_heads
+    hd = d // heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+
+    def dot(a, b_ref):
+        return jax.lax.dot_general(
+            a, f32(b_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def softmax_rows(s):
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        return e / jnp.sum(e, axis=1, keepdims=True)
+
+    def layer_norm(y, scale_ref, bias_ref):
+        mu = jnp.mean(y, axis=1, keepdims=True)
+        c = y - mu
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        return c * jax.lax.rsqrt(var + 1e-5) * scale_ref[...] + bias_ref[...]
+
+    for li in range(n_layers):
+        p = f"l{li}_"
+        h = layer_norm(x, w[p + "n1s"], w[p + "n1b"])
+        q = (dot(h, w[p + "wq"]) + w[p + "bq"][...]) * (1.0 / math.sqrt(hd))
+        k = dot(h, w[p + "wk"]) + w[p + "bk"][...]
+        v = dot(h, w[p + "wv"]) + w[p + "bv"][...]
+        o = jnp.zeros_like(q)
+        for hh in range(heads):
+            mask = jnp.where(lane // hd == hh, 1.0, 0.0)
+            s = jax.lax.dot_general(
+                q * mask, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, N]
+            o = o + jax.lax.dot_general(
+                softmax_rows(s), v * mask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        x = x + dot(o, w[p + "wo"]) + w[p + "bo"][...]
+        h = layer_norm(x, w[p + "n2s"], w[p + "n2b"])
+        h = jnp.maximum(dot(h, w[p + "f1w"]) + w[p + "f1b"][...], 0.0)
+        x = x + dot(h, w[p + "f2w"]) + w[p + "f2b"][...]
+
+    # task query pool (no 1/sqrt(d) — reference TaskAttentionPooling,
+    # models_PMG.py:36-57): scores [T, N] = queries @ x^T
+    qr = f32(w["queries"])
+    s = jax.lax.dot_general(
+        qr, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pooled = jax.lax.dot_general(
+        softmax_rows(s), x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, d]
+    hw = f32(w["heads_w"])  # [T, d, kmax]
+    out_ref[0] = jnp.sum(pooled[:, :, None] * hw, axis=1) + f32(w["heads_b"])
+
+
+def fused_head(
+    gram_tokens: jnp.ndarray, folded, spec, interpret: bool = False
+) -> jnp.ndarray:
+    """Gram tokens [B, Np, gc^2] + fold_head_weights tree -> stacked logits
+    [B, T, Kmax], one pallas program per image.
+
+    Same math as models/pmg.head_from_gram_tokens on the same folded tree
+    (eval mode: no dropout); numerics differ only in the bf16 cast of the
+    token_proj operands (parity-gated by the shared goldens walk).
+    """
+    b, npatch, _ = gram_tokens.shape
+    names, arrs = _flatten_head_weights(folded, spec)
+    q8 = "tp_w8" in names
+    tt = folded["heads"]["w"].shape
+    kern = functools.partial(
+        _head_kernel, names=names, spec=spec, q8=q8,
+        n_layers=len(folded.get("transformer", ())),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(
+            (1,) + gram_tokens.shape[1:], lambda i: (i, 0, 0))]
+        + [pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n)
+           for a in arrs],
+        out_specs=pl.BlockSpec((1,) + tuple((tt[0], tt[2])),
+                               lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tt[0], tt[2]), jnp.float32),
+        interpret=interpret,
+    )(gram_tokens, *arrs)

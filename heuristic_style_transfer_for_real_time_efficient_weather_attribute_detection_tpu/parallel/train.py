@@ -14,6 +14,20 @@ capability: a jitted train step over a ('data','model') mesh where
 Norm layers run in inference form (frozen running stats) — exact for
 instance/group/layer norms; for BatchNorm this is the common frozen-stats
 fine-tuning regime.
+
+Why dp + tp and nothing else (explicit statement, SURVEY section 2.5):
+the largest family member is ~24 M params (~100 MB f32 with optimizer
+state), hundreds of times below one chip's HBM, so pipeline parallelism
+would trade ICI activation transfers and bubble time for memory headroom
+nobody needs; there is no expert/MoE structure anywhere in the reference,
+so ep has nothing to shard; and at 224 px the per-image conv activations
+are far too small for spatial partitioning to beat its collective latency
+(the non-overlapping PMG trunk WOULD shard spatially halo-free at
+patch_div granularity — kernel == stride means no cross-shard taps, and
+only the 9..16 gram tokens need an all_gather before the transformer — a
+design that becomes profitable only if input resolution grows ~10x).
+Batch (dp) and the stacked task axis (tp) are where this workload's real
+parallelism lives.
 """
 
 from __future__ import annotations

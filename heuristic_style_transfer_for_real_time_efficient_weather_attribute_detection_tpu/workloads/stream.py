@@ -99,21 +99,39 @@ class StreamPredictor:
             # After the fused trunk+gram kernel the step is head weight-read
             # bound (token_proj alone is 7.1 MB f32 at the shipped config);
             # fold_head_weights compresses those reads (bf16 / weight-only
-            # int8).  Selection by recorded measurement, parity-gated at
-            # record time (tools/bench_latency.py --record ->
-            # "pmg_head_fold"); "f32" forces the uncompressed exact head.
+            # int8), and the pallas_* variants additionally run the whole
+            # head as one kernel (ops/pallas_kernels.fused_head).  Selection
+            # by recorded measurement, parity-gated at record time
+            # (tools/bench_latency.py --record -> "pmg_head_fold"); "f32"
+            # forces the uncompressed exact head.
             hsel = (head_fold if head_fold != "auto"
                     else winner("pmg_head_fold", default="f32"))
-            if hsel in ("bf16", "q8"):
-                params = pmg.fold_head_weights(params, spec, hsel)
+            if hsel.startswith("pallas_"):
+                from ..ops.pallas_kernels import fused_head
 
-            @jax.jit
-            def step(params, packed_u8, kstate):
-                tokens = fused_trunk_gram(packed_u8, folded, spec)
-                logits = pmg.head_from_gram_tokens(params, tokens, spec)
-                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
-                kstate, smoothed = kalman.filter_update(kstate, probs)
-                return smoothed if use_kalman else probs, kstate
+                params = pmg.fold_head_weights(
+                    params, spec, hsel[len("pallas_"):]
+                )
+
+                @jax.jit
+                def step(params, packed_u8, kstate):
+                    tokens = fused_trunk_gram(packed_u8, folded, spec)
+                    logits = fused_head(tokens, params, spec)
+                    probs = masked_softmax(logits, mask)[0]
+                    kstate, smoothed = kalman.filter_update(kstate, probs)
+                    return smoothed if use_kalman else probs, kstate
+
+            else:
+                if hsel in ("bf16", "q8"):
+                    params = pmg.fold_head_weights(params, spec, hsel)
+
+                @jax.jit
+                def step(params, packed_u8, kstate):
+                    tokens = fused_trunk_gram(packed_u8, folded, spec)
+                    logits = pmg.head_from_gram_tokens(params, tokens, spec)
+                    probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
+                    kstate, smoothed = kalman.filter_update(kstate, probs)
+                    return smoothed if use_kalman else probs, kstate
 
         elif self._pack_k is not None:
             from ..models import pmg

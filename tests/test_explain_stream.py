@@ -444,3 +444,57 @@ def test_pmg_head_fold_golden_fixtures():
         assert rows, "no PMG fixtures found"
         for name, agree, drift in rows:
             assert agree, f"{variant} head fold flips argmax on {name} (drift {drift})"
+
+
+def test_pmg_fused_head_kernel_matches_generic(model):
+    """ops/pallas_kernels.fused_head (interpret mode on CPU) must match the
+    XLA head on the same fold_head_weights tree within compression
+    tolerance, argmax identical — incl. a no-transformer spec (the kernel
+    skips the encoder loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.ops.pallas_kernels import fused_head
+
+    spec, params = model
+    rng = np.random.RandomState(11)
+    tokens = jnp.asarray(
+        rng.randn(2, spec.patch_div ** 2, spec.gram_channels ** 2)
+        .astype(np.float32)
+    )
+    want = np.asarray(pmg.head_from_gram_tokens(params, tokens, spec))
+    for variant in ("bf16", "q8"):
+        folded = pmg.fold_head_weights(params, spec, variant)
+        got = np.asarray(fused_head(tokens, folded, spec, interpret=True))
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+        np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+    spec2 = pmg.build_spec(
+        {"A": ["a0", "a1", "a2"]},
+        dict(ndf=8, patch_size=64, patch_div=2, gram_channels=16,
+             d_model=32, transformer_layers=0, norm="batch",
+             use_token_attention=False),
+    )
+    assert not spec2.has_transformer
+    params2 = pmg.init(jax.random.PRNGKey(1), spec2)
+    tokens2 = jnp.asarray(rng.randn(1, 4, 256).astype(np.float32))
+    w2 = np.asarray(pmg.head_from_gram_tokens(params2, tokens2, spec2))
+    g2 = np.asarray(fused_head(
+        tokens2, pmg.fold_head_weights(params2, spec2, "bf16"), spec2,
+        interpret=True))
+    np.testing.assert_allclose(g2, w2, atol=0.02, rtol=0.02)
+
+
+def test_pmg_head_fold_golden_fixtures_pallas():
+    """The goldens walk also gates the fused head kernel variants (interpret
+    mode on CPU; compiled on the chip by tools/tpu_checklist.py)."""
+    import wadt
+
+    from wadt.utils.goldens import pmg_head_fold_fixture_parity
+
+    wadt.config.enable_parity_precision()
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    rows = pmg_head_fold_fixture_parity(fixtures, "pallas_q8")
+    assert rows, "no PMG fixtures found"
+    for name, agree, drift in rows:
+        assert agree, f"pallas_q8 head flips argmax on {name} (drift {drift})"

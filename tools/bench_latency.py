@@ -144,6 +144,10 @@ def main():
             ("fused_f32", dict(trunk_kernel="fused", head_fold="f32")),
             ("fused_bf16", dict(trunk_kernel="fused", head_fold="bf16")),
             ("fused_q8", dict(trunk_kernel="fused", head_fold="q8")),
+            ("fused_pallas_bf16",
+             dict(trunk_kernel="fused", head_fold="pallas_bf16")),
+            ("fused_pallas_q8",
+             dict(trunk_kernel="fused", head_fold="pallas_q8")),
         ]
         for name, kw in cases:
             pred = StreamPredictor("pmg", spec, params, use_kalman=True, **kw)

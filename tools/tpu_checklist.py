@@ -114,7 +114,7 @@ def check_packed_stream_parity() -> bool:
     from wadt.ops.kernel_select import winner
     from wadt.utils.goldens import pmg_head_fold_fixture_parity
 
-    for variant in ("bf16", "q8"):
+    for variant in ("bf16", "q8", "pallas_bf16", "pallas_q8"):
         rows = pmg_head_fold_fixture_parity(FIXTURES, variant)
         for name, agree, drift in rows:
             print(f"  [head-fold {variant}] {name}: "

@@ -356,14 +356,12 @@ def fused_trunk_gram(z16: jnp.ndarray, weights, spec,
 # fold variants (utils/goldens.pmg_head_fold_fixture_parity).
 
 
-def _flatten_head_weights(folded, spec) -> Tuple[Tuple[str, ...], Tuple]:
+def _flatten_head_weights(folded) -> Tuple[Tuple[str, ...], Tuple]:
     """fold_head_weights tree -> (names, flat arrays) for the kernel.
 
     1-D arrays are shipped as [1, n] so every ref is >= 2-D (TPU vector
     layout); the kernel broadcasts them back.
     """
-    import numpy as _np  # noqa: F401  (doc: host-side flattening only)
-
     def row(a):
         return a[None, :] if a.ndim == 1 else a
 
@@ -487,7 +485,7 @@ def fused_head(
     token_proj operands (parity-gated by the shared goldens walk).
     """
     b, npatch, _ = gram_tokens.shape
-    names, arrs = _flatten_head_weights(folded, spec)
+    names, arrs = _flatten_head_weights(folded)
     q8 = "tp_w8" in names
     tt = folded["heads"]["w"].shape
     kern = functools.partial(

@@ -32,6 +32,10 @@ from ..models import get_family
 from ..ops import kalman
 from ..ops.preprocess import normalize_uint8
 
+# Valid pmg head-weight treatments on the fused streaming path (see
+# models/pmg.fold_head_weights and ops/pallas_kernels.fused_head).
+_HEAD_FOLDS = frozenset({"f32", "bf16", "q8", "pallas_bf16", "pallas_q8"})
+
 
 class StreamPredictor:
     """Compiled per-frame predictor with optional fused Kalman smoothing.
@@ -106,32 +110,38 @@ class StreamPredictor:
             # forces the uncompressed exact head.
             hsel = (head_fold if head_fold != "auto"
                     else winner("pmg_head_fold", default="f32"))
+            if hsel not in _HEAD_FOLDS:
+                if head_fold != "auto":
+                    raise ValueError(
+                        f"unknown head_fold {hsel!r}; expected one of "
+                        f"{sorted(_HEAD_FOLDS)} or 'auto'"
+                    )
+                # a hand-edited/foreign record must not crash production;
+                # fall back to the exact head
+                print(f"[stream] unrecognized recorded pmg_head_fold "
+                      f"winner {hsel!r}; using the exact f32 head")
+                hsel = "f32"
             if hsel.startswith("pallas_"):
-                from ..ops.pallas_kernels import fused_head
+                from ..ops.pallas_kernels import fused_head as _fused_head
 
                 params = pmg.fold_head_weights(
                     params, spec, hsel[len("pallas_"):]
                 )
-
-                @jax.jit
-                def step(params, packed_u8, kstate):
-                    tokens = fused_trunk_gram(packed_u8, folded, spec)
-                    logits = fused_head(tokens, params, spec)
-                    probs = masked_softmax(logits, mask)[0]
-                    kstate, smoothed = kalman.filter_update(kstate, probs)
-                    return smoothed if use_kalman else probs, kstate
-
+                head_fn = _fused_head
             else:
                 if hsel in ("bf16", "q8"):
                     params = pmg.fold_head_weights(params, spec, hsel)
 
-                @jax.jit
-                def step(params, packed_u8, kstate):
-                    tokens = fused_trunk_gram(packed_u8, folded, spec)
-                    logits = pmg.head_from_gram_tokens(params, tokens, spec)
-                    probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
-                    kstate, smoothed = kalman.filter_update(kstate, probs)
-                    return smoothed if use_kalman else probs, kstate
+                def head_fn(tokens, p, spec):
+                    return pmg.head_from_gram_tokens(p, tokens, spec)
+
+            @jax.jit
+            def step(params, packed_u8, kstate):
+                tokens = fused_trunk_gram(packed_u8, folded, spec)
+                logits = head_fn(tokens, params, spec)
+                probs = masked_softmax(logits.astype(jnp.float32), mask)[0]
+                kstate, smoothed = kalman.filter_update(kstate, probs)
+                return smoothed if use_kalman else probs, kstate
 
         elif self._pack_k is not None:
             from ..models import pmg
@@ -176,6 +186,12 @@ class StreamPredictor:
                 out = smoothed if use_kalman else probs
                 return out, kstate
 
+        if head_fold != "auto" and not self._fused:
+            raise ValueError(
+                "head_fold applies only to the PMG fused streaming path "
+                "(trunk_kernel='fused' on a supported batch-norm spec); "
+                f"this predictor is family={family!r}, fused={self._fused}"
+            )
         if dtype != jnp.float32 and not (self._fused or self._rtm_folded):
             # Weight reads dominate batch=1 (HBM-bound); cast like Engine
             # does.  Fused/folded paths already derive dtype-cast weights.

@@ -161,22 +161,32 @@ def main():
                   f"(device, incl. softmax+kalman)")
         if args.record and set(results) >= {n for n, _ in cases}:
             # head-fold selection: fastest fused variant whose compressed
-            # head keeps argmax parity on every PMG golden fixture
-            from wadt.utils.goldens import pmg_head_fold_fixture_parity
+            # head keeps argmax parity AND bounded drift on every PMG
+            # golden fixture (one walk covers all variants; an empty walk
+            # gates NOTHING, so only the exact f32 head may be selected)
+            from wadt.utils.goldens import (
+                HEAD_FOLD_MAX_DRIFT,
+                pmg_head_fold_fixture_parity,
+            )
 
             fixtures = os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "tests", "fixtures")
             fused = {k[len("fused_"):]: v for k, v in results.items()
                      if k.startswith("fused_")}
+            walk = pmg_head_fold_fixture_parity(
+                fixtures, [v for v in fused if v != "f32"]
+            )
             for variant in sorted(fused, key=fused.get):
-                if variant == "f32" or all(
-                    agree for _, agree, _
-                    in pmg_head_fold_fixture_parity(fixtures, variant)
-                ):
+                rows = walk.get(variant, [])
+                if variant == "f32" or (rows and all(
+                    agree and drift <= HEAD_FOLD_MAX_DRIFT
+                    for _, agree, drift in rows
+                )):
                     head_win = variant
                     break
-                print(f"head fold {variant} fastest but FAILS fixture "
-                      f"argmax parity; trying next")
+                print(f"head fold {variant} fastest but "
+                      f"{'has NO fixtures to gate on' if not rows else 'FAILS the fixture parity gate'}"
+                      f"; trying next")
             kernel_select.record(
                 "pmg_head_fold", head_win, fused,
                 "batch1 224px shipped, fused trunk+gram step by "

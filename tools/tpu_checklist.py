@@ -109,22 +109,30 @@ def check_packed_stream_parity() -> bool:
         ok &= agree and drift < 2e-3
 
     # compressed head weights (models/pmg.fold_head_weights — the fused
-    # step is head weight-read bound): argmax parity on every PMG golden
-    # fixture, same walk bench_latency --record gates selection on
+    # step is head weight-read bound): argmax parity + bounded drift on
+    # every PMG golden fixture, same walk bench_latency --record gates
+    # selection on (one walk for all variants: fixtures load and the trunk
+    # forward runs once; the pallas variants still compile one fused_head
+    # program per fixture spec)
     from wadt.ops.kernel_select import winner
-    from wadt.utils.goldens import pmg_head_fold_fixture_parity
+    from wadt.utils.goldens import (
+        HEAD_FOLD_MAX_DRIFT,
+        pmg_head_fold_fixture_parity,
+    )
 
-    for variant in ("bf16", "q8", "pallas_bf16", "pallas_q8"):
-        rows = pmg_head_fold_fixture_parity(FIXTURES, variant)
-        for name, agree, drift in rows:
+    variants = ("bf16", "q8", "pallas_bf16", "pallas_q8")
+    walk = pmg_head_fold_fixture_parity(FIXTURES, variants)
+    for variant in variants:
+        for name, agree, drift in walk[variant]:
+            passed = agree and drift <= HEAD_FOLD_MAX_DRIFT
             print(f"  [head-fold {variant}] {name}: "
                   f"argmax {'ok' if agree else 'DIFF'} drift {drift:.4f}")
-            if not agree and winner("pmg_head_fold", default="f32") != variant:
+            if not passed and winner("pmg_head_fold", default="f32") != variant:
                 # compression gated at RECORD time: losing parity here only
                 # blocks selecting it, not the release
                 print("    (not the recorded winner; informational)")
                 continue
-            ok &= agree
+            ok &= passed
 
     # correctness check, not a perf run: pin full-f32 matmuls so conv-vs-GEMM
     # reassociation noise (<=5e-4 at the fast default) cannot mask a real bug

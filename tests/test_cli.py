@@ -154,3 +154,22 @@ def test_cli_train_data_parallel_smoke(env, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(save, "best_model.pth"))
     hist = json.load(open(os.path.join(save, "training_history.json")))
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
+
+
+def test_example_quickstart_runs(capsys):
+    """examples/quickstart_eval.py must keep working against the shipped
+    fixture (the README points reference users at it)."""
+    import runpy
+    import sys
+
+    argv, sys.argv = sys.argv, ["quickstart_eval.py"]
+    try:
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "quickstart_eval.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert out.count("->") == 5 and "Weather Type" in out

@@ -60,40 +60,62 @@ def main():
     heads = spec.transformer_heads
     d = spec.d_model
 
-    def head_padded(feats, n_pad):
+    def head_padded(feats, n_pad, flat=False, pad_pool=True, pad_tx=True):
+        """``flat``: merge (B, heads) into one leading dim for the score
+        softmaxes ([B*h, np, np] instead of [B, h, np, np]); ``pad_tx`` /
+        ``pad_pool``: apply the padding to the transformer attention / the
+        query pooling (isolates which softmax carries the cost)."""
         z = pmg.conv2d(feats, params["chan_proj"])
         tokens = patch_gram_tokens(z, spec.patch_div)
         tokens = linear(tokens, params["token_proj"])  # [B, n, d]
         b, n, _ = tokens.shape
-        if n_pad > n:
-            tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
-        kmask = jnp.where(jnp.arange(n_pad) < n, 0.0, -1e30).astype(jnp.float32)
+        n_tx = n_pad if pad_tx else n
+        if n_tx > n:
+            tokens = jnp.pad(tokens, ((0, 0), (0, n_tx - n), (0, 0)))
+        kmask = jnp.where(jnp.arange(n_tx) < n, 0.0, -1e30).astype(jnp.float32)
         hd = d // heads
         for p in params["transformer"]:
             h = layer_norm(tokens, p["norm1"])
             a = p["attn"]
 
             def split(y):
-                return y.reshape(b, n_pad, heads, hd).transpose(0, 2, 1, 3)
+                y = y.reshape(b, n_tx, heads, hd).transpose(0, 2, 1, 3)
+                return y.reshape(b * heads, n_tx, hd) if flat else y
 
             q = split(jnp.dot(h, a["wq"], preferred_element_type=jnp.float32) + a["bq"])
             kk = split(jnp.dot(h, a["wk"], preferred_element_type=jnp.float32) + a["bk"])
             v = split(jnp.dot(h, a["wv"], preferred_element_type=jnp.float32) + a["bv"])
-            s = jnp.einsum("bhqd,bhkd->bhqk", q * (1.0 / math.sqrt(hd)), kk,
-                           preferred_element_type=jnp.float32)
-            w = jax.nn.softmax(s + kmask[None, None, None, :], axis=-1)
-            o = jnp.einsum("bhqk,bhkd->bhqd", w, v,
-                           preferred_element_type=jnp.float32)
-            o = o.transpose(0, 2, 1, 3).reshape(b, n_pad, d)
+            q = q * (1.0 / math.sqrt(hd))
+            if flat:
+                s = jnp.einsum("zqd,zkd->zqk", q, kk,
+                               preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s + kmask[None, None, :], axis=-1)
+                o = jnp.einsum("zqk,zkd->zqd", w, v,
+                               preferred_element_type=jnp.float32)
+                o = o.reshape(b, heads, n_tx, hd)
+            else:
+                s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
+                               preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s + kmask[None, None, None, :], axis=-1)
+                o = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                               preferred_element_type=jnp.float32)
+            o = o.transpose(0, 2, 1, 3).reshape(b, n_tx, d)
             tokens = tokens + (
                 jnp.dot(o, a["wo"], preferred_element_type=jnp.float32) + a["bo"]
             ).astype(tokens.dtype)
             h = layer_norm(tokens, p["norm2"])
             h = jax.nn.relu(linear(h, p["ffn1"]))
             tokens = tokens + linear(h, p["ffn2"])
+        n_pool = n_pad if pad_pool else n_tx
+        if n_pool > tokens.shape[1]:
+            tokens = jnp.pad(
+                tokens, ((0, 0), (0, n_pool - tokens.shape[1]), (0, 0)))
+        elif n_pool < tokens.shape[1]:
+            tokens = tokens[:, :n_pool]
+        pmask = jnp.where(jnp.arange(n_pool) < n, 0.0, -1e30).astype(jnp.float32)
         s = jnp.einsum("bnd,td->btn", tokens, params["queries"],
                        preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(s + kmask[None, None, :], axis=-1)
+        w = jax.nn.softmax(s + pmask[None, None, :], axis=-1)
         pooled = jnp.einsum("btn,bnd->btd", w, tokens,
                             preferred_element_type=jnp.float32).astype(tokens.dtype)
         return stacked_task_heads(pooled, params["heads"])
@@ -121,9 +143,9 @@ def main():
             y = pmg.leaky_relu(pmg.apply_norm(y, pp["norm"], spec.norm), 0.2)
         return y
 
-    def make_padded(n_pad):
+    def make_padded(n_pad, **kw):
         def fwd(z8):
-            return head_padded(packed_trunk(z8), n_pad)
+            return head_padded(packed_trunk(z8), n_pad, **kw)
 
         return jax.jit(fwd)
 
@@ -148,20 +170,28 @@ def main():
         for us, name in topb[:4]:
             print(f"    {us*1e3:8.1f} us  {name[:100]}")
     n_tokens = spec.patch_div ** 2
-    for n_pad in (n_tokens, 16, 32, 128):
-        fn = make_padded(n_pad)
+    variants = [
+        (f"n_pad {n}", dict(n_pad=n)) for n in (n_tokens, 16, 32, 128)
+    ] + [
+        ("flat (no pad)", dict(n_pad=n_tokens, flat=True)),
+        ("flat + pad 16", dict(n_pad=16, flat=True)),
+        ("pad 16 tx-only", dict(n_pad=16, pad_pool=False)),
+        ("pad 16 pool-only", dict(n_pad=16, pad_tx=False)),
+    ]
+    for label, kw in variants:
+        fn = make_padded(**kw)
         lf = np.asarray(fn(z8))
         pf = np.asarray(jax.nn.softmax(lf, -1))
         drift = float(np.max(np.abs(pb - pf)))
         am = bool(np.array_equal(np.argmax(lb, -1), np.argmax(lf, -1)))
         if args.parity:
-            print(f"[attnpad --parity] n_pad {n_pad}: drift {drift:.2e} "
+            print(f"[attnpad --parity] {label}: drift {drift:.2e} "
                   f"argmax_equal={am}")
             continue
         tf, topf = device_time_ms(fn, z8, iters=20)
-        print(f"[attnpad] n_pad {n_pad:3d}: {tf*1e3:.1f} us ({tb/tf:.3f}x) "
+        print(f"[attnpad] {label:17s}: {tf*1e3:.1f} us ({tb/tf:.3f}x) "
               f"drift {drift:.2e} argmax_equal={am}")
-        for us, name in topf[:4]:
+        for us, name in topf[:3]:
             print(f"    {us*1e3:8.1f} us  {name[:100]}")
 
 

@@ -63,6 +63,26 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="export the (converted) params as a reference-loadable .pth")
     p.add_argument("--save_pred_images", action="store_true",
                    help="benchmark mode: GT/Pred green-red annotated overlays")
+    p.add_argument("--pred_images_dir", type=str, default=None,
+                   help="benchmark overlay output dir (default "
+                        "<save_dir>/pred_images; RTM_evaluation.py:1227)")
+    p.add_argument("--overlay_topk", type=int, default=1,
+                   help="benchmark overlay: top-k classes per task line "
+                        "(the reference declares but ignores this; "
+                        "implemented here)")
+    p.add_argument("--draw_prob_threshold", type=float, default=None,
+                   help="benchmark overlay: skip task lines whose top prob "
+                        "is below this (reference declares but ignores)")
+    p.add_argument("--no_gt_labels", action="store_true",
+                   help="classifier-mode RTM overlays: omit the True: "
+                        "ground-truth parts (test_RTM.py:70)")
+    # PM attention-head overrides (test_PM.py:117-120).  Precedence mirrors
+    # the reference: config/sidecar value wins over the CLI flag, and the
+    # checkpoint SE probe decides attn_use_se whenever weights are loaded.
+    p.add_argument("--ablate_attention", action="store_true")
+    p.add_argument("--attn_use_se", action="store_true", default=None)
+    p.add_argument("--attn_no_softmax", action="store_true")
+    p.add_argument("--attn_tau", type=float, default=0.7)
     p.add_argument("--parity_precision", action="store_true",
                    help="full-f32 matmuls (bit-parity with the torch reference)")
     p.add_argument("--compilation_cache", nargs="?", type=str, default=None,
@@ -93,6 +113,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--truth_mapping", type=str, default=None,
                    help="sensor truth-rule JSON (rolling service metrics)")
     p.add_argument("--annotations_folder", type=str, default=None)
+    p.add_argument("--eval_annotations", action="store_true",
+                   help="watch mode: require sensor-annotation eval "
+                        "(errors without --annotations_folder, "
+                        "test_PM.py:111; with the folder given, eval is "
+                        "on either way)")
     p.add_argument("--metrics_every", type=int, default=10)
     # camera
     p.add_argument("--camera_index", type=int, default=0)
@@ -204,9 +229,20 @@ def build_engine(args) -> "Any":
     native_dir = args.model_path and os.path.isdir(args.model_path)
     if args.model_path and not native_dir:
         state = checkpoint.load_state_dict(args.model_path)
-    if args.family == "pm" and state is not None:
-        # SE auto-probe overrides config (test_PM.py:149-150).
-        hparams["attn_use_se"] = checkpoint.checkpoint_has_se(state)
+    if args.family == "pm":
+        # CLI fallbacks for the attention-head knobs — a config/sidecar
+        # value wins, mirroring the reference precedence
+        # (test_PM.py:146-150); the checkpoint SE probe decides
+        # attn_use_se whenever weights are loaded.
+        hparams.setdefault("attn_tau", args.attn_tau)
+        hparams.setdefault("attn_softmax_spatial", not args.attn_no_softmax)
+        hparams.setdefault("ablate_attention", args.ablate_attention)
+        if args.attn_use_se:  # explicit enable only (a no-checkpoint
+            hparams.setdefault("attn_use_se", True)  # build keeps the
+            # spec default otherwise — SE on, like the PM model class)
+        if state is not None:
+            # SE auto-probe overrides config (test_PM.py:149-150).
+            hparams["attn_use_se"] = checkpoint.checkpoint_has_se(state)
     if args.family == "rtm":
         hparams.setdefault("use_attention", not args.no_attention)
         if args.attn_token_dim is not None:
@@ -322,7 +358,8 @@ def main(argv=None) -> int:
         ds, loader = make_loader(args, engine)
         evaluate(engine, loader, args.save_dir,
                  measure_time=args.measure_time, tensorboard_writer=writer,
-                 save_test_images=args.save_test_images, profile=args.profile)
+                 save_test_images=args.save_test_images, profile=args.profile,
+                 show_gt_labels=not args.no_gt_labels)
 
         if args.visualize_gradcam or args.integrated_gradients:
             _run_explain(args, engine, ds, writer)
@@ -385,7 +422,10 @@ def main(argv=None) -> int:
                       args.save_dir, args.roc_output,
                       auto_mapping=args.auto_mapping, num_samples=args.num_samples,
                       num_workers=args.num_workers,
-                      save_pred_images=args.save_pred_images)
+                      save_pred_images=args.save_pred_images,
+                      pred_images_dir=args.pred_images_dir,
+                      overlay_topk=args.overlay_topk,
+                      draw_prob_threshold=args.draw_prob_threshold)
 
     elif args.mode == "inference":
         from .workloads.inference import run_inference
@@ -416,6 +456,10 @@ def main(argv=None) -> int:
 
         if not args.watch_folders:
             raise ValueError("watch_folder mode needs --watch_folders")
+        if args.eval_annotations and not args.annotations_folder:
+            # the reference's explicit gate (test_PM.py:833-836)
+            raise ValueError(
+                "--eval_annotations needs --annotations_folder")
         folders = [f for f in args.watch_folders.split(",") if f]
         intervals = (
             [float(x) for x in args.poll_intervals.split(",")]

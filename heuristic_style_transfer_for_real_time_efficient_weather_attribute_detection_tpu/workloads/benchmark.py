@@ -268,9 +268,19 @@ def run_benchmark(
     num_samples: Optional[int] = None,
     num_workers: int = 4,
     save_pred_images: bool = False,
+    pred_images_dir: Optional[str] = None,
+    overlay_topk: int = 1,
+    draw_prob_threshold: Optional[float] = None,
 ) -> Dict:
     """Full benchmark mode -> best_mapping.json + benchmark_summary.json +
-    roc_<task>.png, returning the summary dict (reference :16-208)."""
+    roc_<task>.png, returning the summary dict (reference :16-208).
+
+    ``pred_images_dir`` overrides the overlay output directory
+    (RTM_evaluation.py:1227).  ``overlay_topk`` / ``draw_prob_threshold``
+    are IMPLEMENTED here (top-k classes per task line; skip task lines
+    whose top prob is below the threshold) — the reference declares both
+    flags but ignores them in its simplified overlay
+    (RTM_evaluation.py:1031-1032)."""
     tasks = engine.tasks
     tasks_json = tasks.as_dict()
     with open(mapping_path, "r") as f:
@@ -368,7 +378,7 @@ def run_benchmark(
         # (Functions/RTM_evaluation.py:1225-1287).
         import cv2
 
-        pred_dir = os.path.join(save_dir, "pred_images")
+        pred_dir = pred_images_dir or os.path.join(save_dir, "pred_images")
         os.makedirs(pred_dir, exist_ok=True)
         for i, (path, bench_cls) in enumerate(images):
             img = cv2.imread(path)
@@ -378,11 +388,19 @@ def run_benchmark(
             for task in initial_mapping:
                 pb = bench_space[task][i]
                 pred_idx = int(pb.argmax())
+                if (draw_prob_threshold is not None
+                        and pb[pred_idx] < draw_prob_threshold):
+                    continue
                 ok = pred_idx == gt[task][i]
                 color = (0, 200, 0) if ok else (0, 0, 255)
+                k = max(1, min(int(overlay_topk), len(pb)))
+                top = np.argsort(pb)[::-1][:k]
+                pred_txt = " | ".join(
+                    f"{bench_classes[task][j]} ({pb[j]:.2f})" for j in top
+                )
                 line = (
                     f"{task}: GT={bench_classes[task][gt[task][i]]} "
-                    f"Pred={bench_classes[task][pred_idx]} ({pb[pred_idx]:.2f})"
+                    f"Pred={pred_txt}"
                 )
                 cv2.putText(img, line, (8, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
                             color, 1, cv2.LINE_AA)

@@ -31,6 +31,7 @@ def evaluate(
     save_test_images: bool = False,
     group_task: Optional[str] = None,
     profile: bool = False,
+    show_gt_labels: bool = True,
 ) -> Tuple[float, Dict, float, list]:
     """Returns (avg_loss, metrics, overall_f1, per_batch_times) — the
     reference's ``test_model_optimized`` contract.
@@ -40,7 +41,9 @@ def evaluate(
     task, i.e. "Weather Type" — Functions/PM_evaluation.py:497-539).
     ``profile`` captures a jax.profiler device trace of the first few batches
     under <save_dir>/profile (the TPU-native upgrade of the reference's
-    wall-clock-only telemetry, SURVEY.md 5.1).
+    wall-clock-only telemetry, SURVEY.md 5.1).  ``show_gt_labels=False``
+    (CLI ``--no_gt_labels``) drops the "True:" parts from RTM overlay
+    lines (RTM_evaluation.py:307-312).
     """
     tasks = engine.tasks
     os.makedirs(save_dir, exist_ok=True)
@@ -139,9 +142,15 @@ def evaluate(
                         li = int(labels[i, ti])
                         tl = tasks.class_names[ti][li] if 0 <= li < k else "Unknown"
                         pl = tasks.class_names[ti][pi] if 0 <= pi < k else "Unknown"
-                        lines.append(
-                            f"{t} - True: {tl}, Pred: {pl}, Prob: {p.max():.2f} "
-                        )
+                        if show_gt_labels:
+                            lines.append(
+                                f"{t} - True: {tl}, Pred: {pl}, "
+                                f"Prob: {p.max():.2f} "
+                            )
+                        else:
+                            # --no_gt_labels (RTM_evaluation.py:307-312)
+                            lines.append("")
+                            lines.append(f"{t} - Pred: {pl} ({p.max():.2f})")
                     import cv2
 
                     os.makedirs(os.path.dirname(out_path), exist_ok=True)

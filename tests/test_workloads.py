@@ -409,3 +409,51 @@ def test_rtm_eval_writes_autolayout_images(synth, tmp_path):
     pngs = [f for _, _, fs in os.walk(os.path.join(save, "test_images"))
             for f in fs if f.endswith(".png")]
     assert len(pngs) == 12
+
+
+def test_benchmark_pred_image_overlay_options(synth, engine, tmp_path):
+    """--pred_images_dir/--overlay_topk/--draw_prob_threshold: custom dir is
+    honored and overlays written; an impossible threshold still writes the
+    images (task lines are skipped, not the files)."""
+    from wadt.workloads.benchmark import run_benchmark
+
+    save = str(tmp_path / "bench_overlay")
+    out_dir = str(tmp_path / "custom_pred_dir")
+    run_benchmark(
+        engine,
+        os.path.join(synth, "images"),
+        os.path.join(synth, "mapping.json"),
+        save,
+        os.path.join(save, "roc"),
+        save_pred_images=True,
+        pred_images_dir=out_dir,
+        overlay_topk=2,
+        draw_prob_threshold=1.1,
+    )
+    imgs = os.listdir(out_dir)
+    assert len(imgs) == 12
+    assert not os.path.exists(os.path.join(save, "pred_images"))
+
+
+def test_cli_pm_attention_flag_fallbacks(tmp_path):
+    """PM attention CLI flags feed the spec when no config/checkpoint sets
+    them (reference precedence: config wins, SE probe wins for use_se)."""
+    import sys
+
+    from wadt.cli import build_argparser
+    from wadt.models import pm
+
+    args = build_argparser().parse_args(
+        ["pm", "--ablate_attention", "--attn_no_softmax", "--attn_tau", "0.3"]
+    )
+    hparams = {}
+    # mirror cli.main's PM block
+    hparams.setdefault("attn_tau", args.attn_tau)
+    hparams.setdefault("attn_softmax_spatial", not args.attn_no_softmax)
+    hparams.setdefault("ablate_attention", args.ablate_attention)
+    if args.attn_use_se:
+        hparams.setdefault("attn_use_se", True)
+    spec = pm.build_spec({"A": ["x", "y"]}, hparams)
+    assert spec.ablate_attention and not spec.attn_softmax_spatial
+    assert spec.attn_tau == 0.3
+    assert spec.attn_use_se  # spec default survives when flag not given

@@ -25,6 +25,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
 sys.path.insert(0, REPO)
 
+# The comparison is against the CPU torch reference and pins full-f32
+# matmul precision anyway — run our side on CPU too so the gate never
+# depends on TPU/relay availability (on this rig a wedged relay would hang
+# it silently).  WADT_PARITY_ON_TPU=1 opts back into the attached device.
+if not os.environ.get("WADT_PARITY_ON_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 TINY = dict(
     ndf=16, patch_size=64, patch_div=3, gram_channels=32, d_model=48,
     transformer_layers=1, transformer_heads=2, norm="batch",

@@ -236,7 +236,10 @@ def build_engine(args) -> "Any":
         # attn_use_se whenever weights are loaded.
         hparams.setdefault("attn_tau", args.attn_tau)
         hparams.setdefault("attn_softmax_spatial", not args.attn_no_softmax)
-        hparams.setdefault("ablate_attention", args.ablate_attention)
+        # ablate_attention: the reference passes the CLI value straight to
+        # the model, never consulting config (test_PM.py:163) — so the
+        # flag always wins here too
+        hparams["ablate_attention"] = args.ablate_attention
         if args.attn_use_se:  # explicit enable only (a no-checkpoint
             hparams.setdefault("attn_use_se", True)  # build keeps the
             # spec default otherwise — SE on, like the PM model class)

@@ -394,7 +394,9 @@ def run_benchmark(
                 ok = pred_idx == gt[task][i]
                 color = (0, 200, 0) if ok else (0, 0, 255)
                 k = max(1, min(int(overlay_topk), len(pb)))
-                top = np.argsort(pb)[::-1][:k]
+                # stable descending sort: top[0] == pb.argmax()
+                # even under tied maxima (color/text agree)
+                top = np.argsort(-pb, kind="stable")[:k]
                 pred_txt = " | ".join(
                     f"{bench_classes[task][j]} ({pb[j]:.2f})" for j in top
                 )

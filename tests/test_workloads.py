@@ -436,24 +436,27 @@ def test_benchmark_pred_image_overlay_options(synth, engine, tmp_path):
 
 
 def test_cli_pm_attention_flag_fallbacks(tmp_path):
-    """PM attention CLI flags feed the spec when no config/checkpoint sets
-    them (reference precedence: config wins, SE probe wins for use_se)."""
-    import sys
+    """PM attention CLI flags reach the built spec through the REAL
+    build_engine path (reference precedence: config wins for tau/softmax,
+    --ablate_attention always wins like test_PM.py:163, the spec's SE
+    default survives when the flag and checkpoint are absent)."""
+    import json as _json
 
-    from wadt.cli import build_argparser
-    from wadt.models import pm
+    from wadt.cli import build_argparser, build_engine
+
+    tiny = {"ndf": 4, "n_layers": 2}
+    cfg = tmp_path / "pm_hparams.json"
+    cfg.write_text(_json.dumps({**tiny, "attn_tau": 0.9}))
+    tasks = tmp_path / "tasks.json"
+    tasks.write_text(_json.dumps({"A": ["x", "y"]}))
 
     args = build_argparser().parse_args(
-        ["pm", "--ablate_attention", "--attn_no_softmax", "--attn_tau", "0.3"]
+        ["pm", "--build_classifier", str(tasks), "--config_path", str(cfg),
+         "--ablate_attention", "--attn_no_softmax", "--attn_tau", "0.3",
+         "--batch_size", "2", "--prob_threshold", "0.5"]
     )
-    hparams = {}
-    # mirror cli.main's PM block
-    hparams.setdefault("attn_tau", args.attn_tau)
-    hparams.setdefault("attn_softmax_spatial", not args.attn_no_softmax)
-    hparams.setdefault("ablate_attention", args.ablate_attention)
-    if args.attn_use_se:
-        hparams.setdefault("attn_use_se", True)
-    spec = pm.build_spec({"A": ["x", "y"]}, hparams)
-    assert spec.ablate_attention and not spec.attn_softmax_spatial
-    assert spec.attn_tau == 0.3
-    assert spec.attn_use_se  # spec default survives when flag not given
+    spec = build_engine(args).spec
+    assert spec.attn_tau == 0.9            # config beats the CLI flag
+    assert not spec.attn_softmax_spatial   # CLI fallback (config silent)
+    assert spec.ablate_attention           # CLI always wins (ref :163)
+    assert spec.attn_use_se                # spec default survives

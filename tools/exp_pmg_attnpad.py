@@ -65,6 +65,10 @@ def main():
         softmaxes ([B*h, np, np] instead of [B, h, np, np]); ``pad_tx`` /
         ``pad_pool``: apply the padding to the transformer attention / the
         query pooling (isolates which softmax carries the cost)."""
+        if spec.use_channel_attention:  # match apply_packed's head_apply
+            from wadt.ops.nn import se_block
+
+            feats = se_block(feats, params["se"])
         z = pmg.conv2d(feats, params["chan_proj"])
         tokens = patch_gram_tokens(z, spec.patch_div)
         tokens = linear(tokens, params["token_proj"])  # [B, n, d]

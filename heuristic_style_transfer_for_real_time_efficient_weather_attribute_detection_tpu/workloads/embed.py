@@ -245,10 +245,14 @@ def hdbscan_clustering(
     from sklearn.cluster import HDBSCAN
 
     best = {"n_clusters": -1}
+    n_pts = embeddings.shape[0]
     for mcs in min_cluster_sizes:
         for ms in min_samples_list:
-            mcs_eff = min(mcs, max(2, embeddings.shape[0]))
-            cl = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms).fit(embeddings)
+            # clamp both knobs to the point count (tiny classes would
+            # otherwise crash sklearn: min_samples must be <= n_samples)
+            mcs_eff = min(mcs, max(2, n_pts))
+            ms_eff = min(ms, max(1, n_pts))
+            cl = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms_eff).fit(embeddings)
             labels = cl.labels_
             n = len(set(labels.tolist()) - {-1})
             if n > best["n_clusters"]:

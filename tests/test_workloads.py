@@ -460,3 +460,24 @@ def test_cli_pm_attention_flag_fallbacks(tmp_path):
     assert not spec.attn_softmax_spatial   # CLI fallback (config silent)
     assert spec.ablate_attention           # CLI always wins (ref :163)
     assert spec.attn_use_se                # spec default survives
+
+
+def test_hdbscan_clustering_grid_and_tiny_class():
+    """Keep-max-clusters grid finds the 2 synthetic blobs, and a class
+    with fewer samples than the grid's min_samples must clamp, not crash
+    (sklearn: min_samples <= n_samples)."""
+    from wadt.workloads.embed import hdbscan_clustering
+
+    rng = np.random.RandomState(0)
+    blobs = np.vstack([
+        rng.randn(30, 8) + 10.0,
+        rng.randn(30, 8) - 10.0,
+    ]).astype(np.float32)
+    paths = [f"img_{i}.jpg" for i in range(60)]
+    res = hdbscan_clustering(blobs, paths)
+    assert res["n_clusters"] == 2
+    assert sum(len(v) for v in res["clusters"].values()) == 60
+
+    tiny = rng.randn(3, 8).astype(np.float32)
+    res2 = hdbscan_clustering(tiny, paths[:3])  # must not raise
+    assert sum(len(v) for v in res2["clusters"].values()) == 3

@@ -240,9 +240,11 @@ def build_engine(args) -> "Any":
         # the model, never consulting config (test_PM.py:163) — so the
         # flag always wins here too
         hparams["ablate_attention"] = args.ablate_attention
-        if args.attn_use_se:  # explicit enable only (a no-checkpoint
-            hparams.setdefault("attn_use_se", True)  # build keeps the
-            # spec default otherwise — SE on, like the PM model class)
+        # attn_use_se is explicit-enable only: a no-checkpoint build
+        # without the flag keeps the spec default (SE on, like the PM
+        # model class)
+        if args.attn_use_se:
+            hparams.setdefault("attn_use_se", True)
         if state is not None:
             # SE auto-probe overrides config (test_PM.py:149-150).
             hparams["attn_use_se"] = checkpoint.checkpoint_has_se(state)

@@ -328,27 +328,15 @@ def supports_packed_input(spec: Spec) -> bool:
     return b0.kernel == b0.stride and b0.pad == 0
 
 
-def apply_packed(
+def packed_trunk_features(
     params: Dict[str, Any], z8: jnp.ndarray, spec: Spec,
-    capture: Sequence[str] = (),
     dtype: jnp.dtype = jnp.float32,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Latency-optimized forward from s2d-packed uint8 (the streaming path).
+) -> jnp.ndarray:
+    """Trunk forward from s2d-packed uint8 -> feature map [B, h, w, C].
 
-    z8: [B, H/k, W/k, k*k*3] from ``ops.preprocess.s2d_pack_uint8``.  The
-    first non-overlapping conv becomes one GEMM over the packed channel axis
-    — the same math as ``apply`` after ``normalize_uint8`` (<=1e-7 prob
-    drift at f32 matmul precision; <=5e-4 conv-vs-GEMM reassociation noise
-    at the fast default; asserted in tests/test_explain_stream.py and
-    tools/tpu_checklist.py).  At batch=1 this avoids XLA's
-    batch-minor conv layout copies: 20 vs 57 us/frame on one v5e.
-
-    The device normalize affine is FOLDED into the stem GEMM:
-    ``(u8*scale - shift) @ W == u8 @ (scale*W) + (b - shift@W)`` — exact
-    (8e-08 prob drift at parity precision), and measured 5-11% faster
-    full-forward at every batch size (tools/exp_pmg_normfold.py; the
-    remaining u8->f32 convert lowers best via an int32 hop at batch >=64
-    and directly below that — also measured there).
+    The stem GEMM carries the normalize affine folded into its weights
+    (see :func:`apply_packed` for the math and measurements); shared by
+    apply_packed and the perf experiments so the fold has one owner.
     """
     from ..ops.preprocess import packed_affine
 
@@ -371,6 +359,32 @@ def apply_packed(
     for pp, bk in zip(params["trunk"][1:], spec.plan[1:]):
         y = conv2d(y, pp["conv"], stride=bk.stride, padding=bk.pad)
         y = leaky_relu(apply_norm(y, pp["norm"], spec.norm), 0.2)
+    return y
+
+
+def apply_packed(
+    params: Dict[str, Any], z8: jnp.ndarray, spec: Spec,
+    capture: Sequence[str] = (),
+    dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Latency-optimized forward from s2d-packed uint8 (the streaming path).
+
+    z8: [B, H/k, W/k, k*k*3] from ``ops.preprocess.s2d_pack_uint8``.  The
+    first non-overlapping conv becomes one GEMM over the packed channel axis
+    — the same math as ``apply`` after ``normalize_uint8`` (<=1e-7 prob
+    drift at f32 matmul precision; <=5e-4 conv-vs-GEMM reassociation noise
+    at the fast default; asserted in tests/test_explain_stream.py and
+    tools/tpu_checklist.py).  At batch=1 this avoids XLA's
+    batch-minor conv layout copies: 20 vs 57 us/frame on one v5e.
+
+    The device normalize affine is FOLDED into the stem GEMM:
+    ``(u8*scale - shift) @ W == u8 @ (scale*W) + (b - shift@W)`` — exact
+    (8e-08 prob drift at parity precision), and measured 5-11% faster
+    full-forward at every batch size (tools/exp_pmg_normfold.py; the
+    remaining u8->f32 convert lowers best via an int32 hop at batch >=64
+    and directly below that — also measured there).
+    """
+    y = packed_trunk_features(params, z8, spec, dtype)
     aux: Dict[str, jnp.ndarray] = {}
     if "features" in capture:
         aux["features"] = y

@@ -125,27 +125,8 @@ def main():
         return stacked_task_heads(pooled, params["heads"])
 
     def packed_trunk(z8):
-        """apply_packed's trunk (normalize folded into the stem GEMM)."""
-        from wadt.ops.preprocess import packed_affine
-
-        b0 = spec.plan[0]
-        p0 = params["trunk"][0]
-        w0 = p0["conv"]["w"].reshape(-1, b0.cout)
-        scale, shift = (jnp.asarray(a) for a in packed_affine(b0.kernel))
-        w0f = w0.astype(jnp.float32)
-        wf = (scale[:, None] * w0f).astype(w0.dtype)
-        bf = -(shift @ w0f)
-        if p0["conv"].get("b") is not None:
-            bf = bf + p0["conv"]["b"]
-        u = z8.astype(jnp.int32).astype(jnp.float32)
-        y = jnp.einsum("bhwc,cd->bhwd", u, wf,
-                       preferred_element_type=jnp.float32)
-        y = (y + bf).astype(jnp.float32)
-        y = pmg.leaky_relu(pmg.apply_norm(y, p0["norm"], spec.norm), 0.2)
-        for pp, bk in zip(params["trunk"][1:], spec.plan[1:]):
-            y = pmg.conv2d(y, pp["conv"], stride=bk.stride, padding=bk.pad)
-            y = pmg.leaky_relu(pmg.apply_norm(y, pp["norm"], spec.norm), 0.2)
-        return y
+        """apply_packed's trunk (shared fold: pmg.packed_trunk_features)."""
+        return pmg.packed_trunk_features(params, z8, spec)
 
     def make_padded(n_pad, **kw):
         def fwd(z8):

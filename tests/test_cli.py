@@ -173,3 +173,15 @@ def test_example_quickstart_runs(capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert out.count("->") == 5 and "Weather Type" in out
+
+
+def test_examples_compile():
+    """Every example script must at least parse (quickstart also runs in
+    test_example_quickstart_runs)."""
+    import py_compile
+
+    ex_dir = os.path.join(os.path.dirname(__file__), "..", "examples")
+    scripts = [f for f in os.listdir(ex_dir) if f.endswith(".py")]
+    assert len(scripts) >= 5
+    for f in scripts:
+        py_compile.compile(os.path.join(ex_dir, f), doraise=True)

@@ -47,6 +47,11 @@ def chained_time(make_step, *args, repeats=3):
 
 
 def main():
+    # bounded relay-wedge probe (shared with bench.py)
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     import argparse
 
     import jax

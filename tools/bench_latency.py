@@ -55,6 +55,12 @@ def main():
 
     enable_persistent_compilation_cache()
 
+    # bounded relay-wedge probe (shared with bench.py): a wedged relay
+    # otherwise hangs this tool silently with 0 CPU
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="store the fused-vs-packed streaming winner in "

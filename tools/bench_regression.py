@@ -66,6 +66,12 @@ def main() -> int:
 
     enable_persistent_compilation_cache()
 
+    # bounded relay-wedge probe (shared with bench.py): a wedged relay
+    # otherwise hangs this tool silently with 0 CPU
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     kinds = {d.platform.lower() for d in jax.devices()}
     if not kinds & {"tpu", "axon"}:
         print(f"[bench_regression] no TPU attached (devices: {sorted(kinds)}) "

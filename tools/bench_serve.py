@@ -40,6 +40,11 @@ def make_jpegs(n: int, size: int = 256) -> list:
 
 
 def main():
+    # bounded relay-wedge probe (shared with bench.py)
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
     ap.add_argument("--clients", type=int, default=32)

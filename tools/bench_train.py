@@ -86,6 +86,12 @@ def main():
 
     enable_persistent_compilation_cache()
 
+    # bounded relay-wedge probe (shared with bench.py): a wedged relay
+    # otherwise hangs this tool silently with 0 CPU
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     fams = ("pmg", "pm", "rtm") if args.family == "all" else (args.family,)
     out = {}
     for fam in fams:

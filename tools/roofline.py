@@ -137,6 +137,11 @@ def measure_config(family, dtype_name, batch):
 
 
 def main():
+    # bounded relay-wedge probe (shared with bench.py)
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="pmg,pm,rtm")
     ap.add_argument("--dtypes", default="f32,bf16")

@@ -185,3 +185,20 @@ def test_examples_compile():
     assert len(scripts) >= 5
     for f in scripts:
         py_compile.compile(os.path.join(ex_dir, f), doraise=True)
+
+
+def test_launch_cheatsheet_commands_parse():
+    """Every example invocation in the repo-root `launch` cheat-sheet must
+    parse against the current argparser (doc-rot guard)."""
+    import shlex
+
+    from wadt.cli import build_argparser
+
+    txt = open(os.path.join(os.path.dirname(__file__), "..", "launch")).read()
+    txt = txt.replace("\\\n", " ")
+    cmds = [l.strip() for l in txt.splitlines()
+            if l.strip().startswith("python weather.py")]
+    assert len(cmds) >= 10
+    p = build_argparser()
+    for c in cmds:
+        p.parse_args(shlex.split(c)[2:])

@@ -252,7 +252,8 @@ def hdbscan_clustering(
             # otherwise crash sklearn: min_samples must be <= n_samples)
             mcs_eff = min(mcs, max(2, n_pts))
             ms_eff = min(ms, max(1, n_pts))
-            cl = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms_eff).fit(embeddings)
+            cl = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms_eff,
+                         copy=True).fit(embeddings)
             labels = cl.labels_
             n = len(set(labels.tolist()) - {-1})
             if n > best["n_clusters"]:

@@ -498,3 +498,32 @@ def test_pmg_head_fold_golden_fixtures_pallas():
     assert rows, "no PMG fixtures found"
     for name, agree, drift in rows:
         assert agree, f"pallas_q8 head flips argmax on {name} (drift {drift})"
+
+
+def test_stream_head_fold_auto_honors_record(model, monkeypatch):
+    """trunk_kernel/head_fold 'auto' must follow the recorded winners: with
+    a record naming the pallas trunk + bf16 head fold, StreamPredictor
+    derives compressed head params at construction (no step execution —
+    the pallas kernel itself is chip-gated)."""
+    import jax.numpy as jnp
+
+    from wadt.ops import kernel_select
+    from wadt.ops.pallas_kernels import supports_fused_trunk_gram
+    from wadt.workloads.stream import StreamPredictor
+
+    spec, params = model
+    if not supports_fused_trunk_gram(spec):
+        pytest.skip("tiny spec lacks a fused-compatible trunk plan")
+    wins = {"fused_trunk_gram": "pallas", "pmg_head_fold": "bf16"}
+    monkeypatch.setattr(
+        kernel_select, "winner",
+        lambda op, default="xla": wins.get(op, default),
+    )
+    pred = StreamPredictor("pmg", spec, params)
+    assert pred._fused
+    assert pred.params["token_proj"]["w"].dtype == jnp.bfloat16
+    assert "trunk" not in pred.params  # head-only tree on the fused path
+
+    wins["pmg_head_fold"] = "nonsense-variant"
+    pred2 = StreamPredictor("pmg", spec, params)  # warn + exact f32 head
+    assert pred2.params["token_proj"]["w"].dtype == jnp.float32

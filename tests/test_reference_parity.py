@@ -8,7 +8,9 @@ workloads/run_benchmark — benchmark_summary.json + best_mapping.json under
 both the JSON mapping and auto-mapping), folder inference
 (Functions/PM_evaluation.py:189 `run_inference` — inference_results.json),
 and folder predictions (Functions/PM_evaluation.py:645
-`test_folder_predictions` — folder_predictions.json + all_predictions.json).
+`test_folder_predictions` — folder_predictions.json + all_predictions.json),
+plus a randomized-architecture logit-parity fuzz
+(tools/fuzz_reference_parity.py).
 Slow (~3 min: the reference
 evaluates eagerly on CPU) and needs /root/reference, so it is opt-in:
 WADT_REFERENCE_PARITY=1 python -m pytest tests/test_reference_parity.py
@@ -37,3 +39,17 @@ def test_metrics_identical(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "PARITY OK" in proc.stdout
+
+
+def test_fuzz_random_architectures():
+    """Randomized-spec logit parity (tools/fuzz_reference_parity.py): random
+    valid architectures per family, reference state_dict through our
+    converter, logits diffed.  A small fixed-seed slice here; run the tool
+    directly with a fresh --seed for a wider hunt."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fuzz_reference_parity.py"),
+         "--n", "3", "--seed", "7"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "FUZZ PARITY OK" in proc.stdout

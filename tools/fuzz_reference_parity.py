@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Randomized-architecture parity fuzz vs the live PyTorch reference.
+
+The golden fixtures (tools/make_fixtures.py) pin a dozen hand-picked specs.
+This tool samples RANDOM valid architectures per family — trunk depth via
+patch_size/truncation, every norm flavor (batch/instance/group), head
+options, and task registries with uneven class counts — builds the torch
+reference model (Models/models_{PM,PMG,RTM}.py), pushes its randomly
+initialized state_dict through our checkpoint converter, and diffs logits on
+random inputs.  It probes the spec-arithmetic / layout / padding edge cases
+(channel-doubling loop boundaries, replicate-pad patch grids, stacked-head
+class padding, packed-qkv splits at odd d_model) that fixed fixtures cannot
+cover exhaustively.
+
+Runs on CPU (relay-proof) like tools/compare_with_reference.py; set
+WADT_PARITY_ON_TPU=1 to opt back into the attached device.
+
+Usage:
+    python tools/fuzz_reference_parity.py [--n 6] [--seed 0] \
+        [--families pmg,pm,rtm]
+
+Exits non-zero on any divergence beyond tolerance.
+"""
+
+import argparse
+import os
+import random
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if not os.environ.get("WADT_PARITY_ON_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import torch  # noqa: E402
+
+import wadt  # noqa: E402
+from wadt.engine import checkpoint  # noqa: E402
+from wadt.models import get_family  # noqa: E402
+
+# Reuse make_fixtures' reference imports + the plain-torch ResNet-50 clone
+# (torchvision is absent here; the clone reproduces its module layout).
+from make_fixtures import (  # noqa: E402
+    ResNet50,
+    randomize_bn_stats,
+    MultiTaskPatchGAN,
+    MultiTaskPatchGANGramModelNonOverlapV2,
+    MultiHeadAttentionPerTaskModel,
+)
+
+wadt.config.enable_parity_precision()
+
+# f32 CPU torch vs full-precision XLA: reassociation-level drift only.  The
+# bound is relative to the logit scale (random deep trunks with randomized
+# BN stats can produce large-magnitude logits).
+REL_TOL = 5e-4
+
+
+def sample_tasks(rng: random.Random):
+    """1-5 tasks with UNEVEN class counts (2-7) — exercises the stacked-head
+    kmax padding and per-task class masks."""
+    n_tasks = rng.randint(1, 5)
+    return {
+        f"Fuzz Task {i}": [f"class_{i}_{j}" for j in range(rng.randint(2, 7))]
+        for i in range(n_tasks)
+    }
+
+
+def sample_pmg(rng: random.Random):
+    norm = rng.choice(["batch", "instance", "group"])
+    # GroupNorm(num_groups=32) needs every trunk channel divisible by 32
+    # (models_PMG.py:103); channels are ndf, 2ndf, ... so constrain ndf.
+    ndf = rng.choice([32, 64]) if norm == "group" else rng.choice([8, 16, 24, 32, 64])
+    heads = rng.choice([1, 2, 4])
+    patch_size = rng.choice([16, 40, 64, 70, 128, 256])
+    # Trunk output H for 224 input: k4 s4 p0 convs while rf>4 and filters<=512.
+    h, rf, filters = 224, patch_size, ndf
+    while rf > 4 and filters <= 512:
+        h, rf, filters = (h - 4) // 4 + 1, rf / 4, filters * 2
+    patch_div = rng.randint(2, min(5, max(2, h)))
+    return {
+        "ndf": ndf,
+        "norm": norm,
+        "patch_size": patch_size,
+        "patch_div": patch_div,
+        "gram_channels": rng.choice([16, 24, 32, 64, 96]),
+        "d_model": heads * rng.choice([16, 24, 48, 64]),
+        "transformer_layers": rng.randint(0, 3),
+        "transformer_heads": heads,
+        "use_token_attention": rng.random() < 0.8,
+        "use_channel_attention": rng.random() < 0.5,
+    }
+
+
+def sample_pm(rng: random.Random):
+    return {
+        "ndf": rng.choice([8, 16, 32, 64]),
+        "norm": rng.choice(["instance", "batch"]),
+        # >140 would shrink the 224 input below the final k4 s1 conv.
+        "patch_size": rng.choice([16, 32, 70, 140]),
+        "attn_tau": rng.choice([0.5, 0.7, 1.0]),
+        "attn_use_se": rng.random() < 0.7,
+        "attn_softmax_spatial": rng.random() < 0.7,
+        "ablate_attention": rng.random() < 0.2,
+    }
+
+
+def sample_rtm(rng: random.Random):
+    n_hidden = rng.randint(0, 2)
+    return {
+        "truncate_layer": rng.randint(3, 8),
+        "use_attention": rng.random() < 0.75,
+        "attn_token_dim": rng.choice([None, 16, 48, 64]),
+        "cls_hidden_dims": tuple(rng.choice([16, 32, 64]) for _ in range(n_hidden)),
+        "cls_num_layers": rng.randint(0, n_hidden),
+    }
+
+
+class _IntendedGroupNorm(torch.nn.GroupNorm):
+    """REFERENCE DEFECT (found by this fuzz): models_PMG.py:103 builds
+    ``functools.partial(nn.GroupNorm, num_groups=32)`` and then calls
+    ``norm_layer(num_filters)`` — the positional arg collides with the
+    ``num_groups`` kwarg (GroupNorm's first positional IS num_groups), so
+    every ``norm="group"`` PMG crashes at construction in the reference.
+    This shim reorders to the evident intent, GroupNorm(32, num_channels),
+    so our ``ops/norms.group_norm`` still gets live-torch parity coverage."""
+
+    def __init__(self, num_channels, num_groups=32, **kw):
+        super().__init__(num_groups, num_channels, **kw)
+
+
+def build_torch(family: str, hp: dict, tasks: dict, seed: int):
+    torch.manual_seed(seed)
+    counts = {t: len(c) for t, c in tasks.items()}
+    if family == "pmg":
+        import Models.models_PMG as ref_pmg
+
+        saved = ref_pmg.nn.GroupNorm
+        ref_pmg.nn.GroupNorm = _IntendedGroupNorm
+        try:
+            m = MultiTaskPatchGANGramModelNonOverlapV2(
+                input_nc=3, num_classes_per_task=counts, **hp
+            )
+        finally:
+            ref_pmg.nn.GroupNorm = saved
+    elif family == "pm":
+        m = MultiTaskPatchGAN(tasks_dict=counts, input_nc=3, device="cpu", **hp)
+    else:
+        torch.manual_seed(seed)  # encoder and wrapper share the stream
+        m = MultiHeadAttentionPerTaskModel(
+            base_encoder=ResNet50(),
+            truncate_after_layer=hp["truncate_layer"],
+            tasks=tasks,
+            device="cpu",
+            use_attention=hp["use_attention"],
+            attn_token_dim=hp["attn_token_dim"],
+            cls_hidden_dims=list(hp["cls_hidden_dims"]),
+            cls_num_layers=hp["cls_num_layers"],
+        )
+    randomize_bn_stats(m, seed + 1)
+    m.eval()
+    return m
+
+
+def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
+    m = build_torch(family, hp, tasks, seed)
+    rng = np.random.RandomState(seed + 2)
+    x_nchw = rng.randn(2, 3, 224, 224).astype(np.float32) * 0.7
+    with torch.no_grad():
+        want = {t: v.numpy() for t, v in m(torch.from_numpy(x_nchw)).items()}
+
+    with tempfile.TemporaryDirectory() as td:
+        pth = os.path.join(td, "ckpt.pth")
+        torch.save(m.state_dict(), pth)
+        mod = get_family(family)
+        spec = mod.build_spec(tasks, hp)
+        params = checkpoint.load_torch_checkpoint(family, pth, spec)
+
+    logits, _ = mod.apply(params, np.transpose(x_nchw, (0, 2, 3, 1)), spec)
+    logits = np.asarray(logits)
+    worst = 0.0
+    for i, task in enumerate(spec.tasks.names):
+        got = logits[:, i, : want[task].shape[1]]
+        scale = max(1.0, float(np.abs(want[task]).max()))
+        drift = float(np.abs(got - want[task]).max()) / scale
+        worst = max(worst, drift)
+    return worst
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=6, help="draws per family")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--families", default="pmg,pm,rtm")
+    args = ap.parse_args()
+
+    samplers = {"pmg": sample_pmg, "pm": sample_pm, "rtm": sample_rtm}
+    failures = []
+    for family in args.families.split(","):
+        family = family.strip()
+        for i in range(args.n):
+            seed = args.seed * 10000 + i
+            rng = random.Random(f"{family}-{seed}")
+            hp, tasks = samplers[family](rng), sample_tasks(rng)
+            try:
+                drift = run_case(family, hp, tasks, seed)
+                status = "ok" if drift <= REL_TOL else "FAIL"
+            except Exception as e:  # converter/build crash = a real finding
+                drift, status = float("nan"), f"ERROR {type(e).__name__}: {e}"
+            print(f"[{family} #{i}] drift={drift:.2e} {status}  hp={hp} "
+                  f"tasks={ {t: len(c) for t, c in tasks.items()} }", flush=True)
+            if status != "ok":
+                failures.append((family, i, hp, status))
+
+    if failures:
+        print(f"FUZZ PARITY FAILED: {len(failures)} case(s)")
+        return 1
+    print("FUZZ PARITY OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,7 @@ surface TPU-first:
 Import alias: ``import wadt`` (see repo-root ``wadt.py``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from . import config  # noqa: F401
 

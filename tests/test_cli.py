@@ -202,3 +202,25 @@ def test_launch_cheatsheet_commands_parse():
     p = build_argparser()
     for c in cmds:
         p.parse_args(shlex.split(c)[2:])
+
+
+def test_pyproject_metadata_consistent():
+    """Packaging doc-rot guard: pyproject.toml must parse, its console-script
+    target must resolve, its version must match the package, and its core
+    dependency list must stay within what the package actually imports."""
+    import importlib
+    import tomllib
+
+    import wadt
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    proj = meta["project"]
+    assert proj["version"] == wadt.__version__
+
+    target = proj["scripts"]["weather"]
+    mod_name, func = target.split(":")
+    assert getattr(importlib.import_module(mod_name), func).__call__
+
+    core = {d.split(">=")[0].split("[")[0].lower() for d in proj["dependencies"]}
+    assert core == {"jax", "numpy", "pillow", "optax"}

@@ -68,6 +68,9 @@ def main():
                 print(f"frame {n:4d}: {shown}, ...")
     finally:
         cap.release()
+    if n == 0:
+        sys.exit("no frames decoded — the video is empty or this OpenCV "
+                 "build lacks a codec for it")
     print(f"processed {n} frames (one compiled dispatch each, "
           f"Kalman smoothing fused into the step)")
 

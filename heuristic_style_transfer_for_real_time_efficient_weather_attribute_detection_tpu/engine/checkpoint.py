@@ -111,6 +111,13 @@ def _stack_padded(
     w = np.zeros((nt, d, kmax), np.float32)
     b = np.zeros((nt, kmax), np.float32)
     for i, (wi, bi) in enumerate(zip(ws, bs)):
+        if wi.shape[0] > kmax:
+            raise ValueError(
+                f"checkpoint head #{i} has {wi.shape[0]} classes but the "
+                f"task registry's widest task has {kmax} — the "
+                f"--build_classifier registry does not match the one this "
+                f"checkpoint was trained with"
+            )
         w[i, :, : wi.shape[0]] = wi.T
         if bi is not None:
             b[i, : bi.shape[0]] = bi

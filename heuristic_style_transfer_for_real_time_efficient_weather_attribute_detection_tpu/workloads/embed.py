@@ -244,8 +244,16 @@ def hdbscan_clustering(
     clusters (reference test_PM.py:301-366), via sklearn.cluster.HDBSCAN."""
     from sklearn.cluster import HDBSCAN
 
-    best = {"n_clusters": -1}
     n_pts = embeddings.shape[0]
+    if n_pts < 2:
+        # sklearn HDBSCAN raises on n_samples < 2; a 0/1-point class
+        # clusters trivially as noise.
+        return {
+            "best_params": {"min_cluster_size": None, "min_samples": None},
+            "n_clusters": 0,
+            "clusters": {"-1": list(paths)} if n_pts else {},
+        }
+    best = {"n_clusters": -1}
     for mcs in min_cluster_sizes:
         for ms in min_samples_list:
             # clamp both knobs to the point count (tiny classes would

@@ -169,6 +169,11 @@ def test_train_step_sharded_bf16_mixed_precision():
         state, loss = step_fn(state, images, labels)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+    # Master params must stay f32.  NOTE: bfloat16's numpy dtype kind is
+    # 'V', so a kind=='f' filter would pass vacuously on a bf16 regression —
+    # assert the inexact leaves are f32 AND none are bf16.
     leaves = jax.tree_util.tree_leaves(state.params)
-    assert all(l.dtype == jnp.float32 for l in leaves if l.dtype.kind == "f")
+    assert not any(l.dtype == jnp.bfloat16 for l in leaves)
+    assert all(l.dtype == jnp.float32 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.inexact))
     assert state.params["queries"].sharding.spec[0] == "model"

@@ -481,3 +481,10 @@ def test_hdbscan_clustering_grid_and_tiny_class():
     tiny = rng.randn(3, 8).astype(np.float32)
     res2 = hdbscan_clustering(tiny, paths[:3])  # must not raise
     assert sum(len(v) for v in res2["clusters"].values()) == 3
+
+    # sklearn HDBSCAN raises on n_samples < 2: a 0/1-point class must
+    # degrade to trivial noise, not crash the clustering mode.
+    res1 = hdbscan_clustering(tiny[:1], paths[:1])
+    assert res1["n_clusters"] == 0 and res1["clusters"] == {"-1": paths[:1]}
+    res0 = hdbscan_clustering(tiny[:0], [])
+    assert res0["n_clusters"] == 0 and res0["clusters"] == {}

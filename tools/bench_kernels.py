@@ -47,21 +47,22 @@ def chained_time(make_step, *args, repeats=3):
 
 
 def main():
-    # bounded relay-wedge probe (shared with bench.py)
-    import bench
-
-    bench.wait_for_healthy_device(deadline_s=300.0)
-
     import argparse
-
-    import jax
-    import jax.numpy as jnp
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="store winners in results/kernel_ab.json (the "
                          "production dispatch table, ops/kernel_select.py)")
     args = ap.parse_args()
+
+    # bounded relay-wedge probe (shared with bench.py) — after argparse so
+    # --help / bad flags respond instantly even on a wedged relay
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
+
+    import jax
+    import jax.numpy as jnp
 
     from wadt.config import IMAGENET_MEAN, IMAGENET_STD
     from wadt.ops import kernel_select

@@ -55,12 +55,6 @@ def main():
 
     enable_persistent_compilation_cache()
 
-    # bounded relay-wedge probe (shared with bench.py): a wedged relay
-    # otherwise hangs this tool silently with 0 CPU
-    import bench
-
-    bench.wait_for_healthy_device(deadline_s=300.0)
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="store the fused-vs-packed streaming winner in "
@@ -70,6 +64,13 @@ def main():
                     help="pm/rtm: bfloat16 streaming step (halves the "
                          "weight-read traffic that dominates batch=1)")
     args = ap.parse_args()
+
+    # bounded relay-wedge probe (shared with bench.py): a wedged relay
+    # otherwise hangs this tool silently with 0 CPU; after argparse so
+    # --help / bad flags respond instantly
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
 
     import __graft_entry__ as graft
     from wadt.engine.executor import Engine

@@ -40,11 +40,6 @@ def make_jpegs(n: int, size: int = 256) -> list:
 
 
 def main():
-    # bounded relay-wedge probe (shared with bench.py)
-    import bench
-
-    bench.wait_for_healthy_device(deadline_s=300.0)
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=("pmg", "pm", "rtm"), default="pmg")
     ap.add_argument("--clients", type=int, default=32)
@@ -55,6 +50,12 @@ def main():
     ap.add_argument("--record", action="store_true",
                     help="append to results/bench_serve.json")
     args = ap.parse_args()
+
+    # bounded relay-wedge probe (shared with bench.py) — after argparse so
+    # --help / bad flags respond instantly even on a wedged relay
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
 
     import bench
     from wadt.engine.executor import Engine

@@ -31,7 +31,8 @@ import tempfile
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
+# The reference checkout location is controlled by REFERENCE_DIR, consumed
+# by make_fixtures (imported below), which sys.path-inserts it.
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -137,11 +137,6 @@ def measure_config(family, dtype_name, batch):
 
 
 def main():
-    # bounded relay-wedge probe (shared with bench.py)
-    import bench
-
-    bench.wait_for_healthy_device(deadline_s=300.0)
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="pmg,pm,rtm")
     ap.add_argument("--dtypes", default="f32,bf16")
@@ -151,6 +146,12 @@ def main():
     ap.add_argument("--record", action="store_true",
                     help="write results/roofline.json")
     args = ap.parse_args()
+
+    # bounded relay-wedge probe (shared with bench.py) — after argparse so
+    # --help / bad flags respond instantly even on a wedged relay
+    import bench
+
+    bench.wait_for_healthy_device(deadline_s=300.0)
 
     import bench
 

@@ -171,10 +171,72 @@ def build_torch(family: str, hp: dict, tasks: dict, seed: int):
     return m
 
 
+def _rel_drift(got, want) -> float:
+    want = np.asarray(want)
+    scale = max(1.0, float(np.abs(want).max()))
+    return float(np.abs(np.asarray(got) - want).max()) / scale
+
+
+def _aux_drift(family: str, m, mod, params, spec, x_nchw, x_nhwc) -> float:
+    """Capture-tap parity beyond logits: PM attention maps + attention-
+    weighted task embeddings (models_PM.py:183-187 return_full contract),
+    RTM shared/task embeddings (models_RTM.py:113-118), PMG style-transfer
+    patch grams (PMG_style_transfer.py:25-48 unpadded-unfold semantics)."""
+    worst = 0.0
+    if family == "pm":
+        with torch.no_grad():
+            full = m(torch.from_numpy(x_nchw), return_full=True)
+            feats = m.trunk(torch.from_numpy(x_nchw))
+        _, aux = mod.apply(params, x_nhwc, spec,
+                           capture=("attn", "task_embeddings"))
+        attn, emb = np.asarray(aux["attn"]), np.asarray(aux["task_embeddings"])
+        for i, task in enumerate(spec.tasks.names):
+            A = full[task]["attn"]
+            worst = max(worst, _rel_drift(attn[:, i], A.numpy()[:, 0]))
+            num = (feats * A).sum(dim=(2, 3))
+            den = A.sum(dim=(2, 3)) + 1e-6
+            worst = max(worst, _rel_drift(emb[:, i], (num / den).numpy()))
+    elif family == "rtm":
+        with torch.no_grad():
+            _, temb, shared = m(
+                torch.from_numpy(x_nchw),
+                return_task_embeddings=True, return_shared_embedding=True,
+            )
+        _, aux = mod.apply(params, x_nhwc, spec,
+                           capture=("shared_embedding", "task_embeddings"))
+        worst = _rel_drift(aux["shared_embedding"], shared.numpy())
+        emb = np.asarray(aux["task_embeddings"])
+        for i, task in enumerate(spec.tasks.names):
+            worst = max(worst, _rel_drift(emb[:, i], temb[task].numpy()))
+    else:  # pmg: style grams via the reference's unpadded torch.unfold math
+        from wadt.models.pmg import trunk_features
+        from wadt.ops.gram import style_patch_grams
+
+        with torch.no_grad():
+            feats = m.feature_extractor(torch.from_numpy(x_nchw[:1]))
+        _, C, H, W = feats.shape
+        ph, pw = H // m.patch_div, W // m.patch_div
+        p = feats.unfold(2, ph, ph).unfold(3, pw, pw)
+        nH, nW = p.size(2), p.size(3)
+        p = p.permute(0, 1, 2, 4, 3, 5).reshape(1, C, nH * nW, ph, pw)
+        p = p.permute(0, 2, 1, 3, 4).contiguous().reshape(1, nH * nW, C, ph * pw)
+        want = np.stack([
+            (p[0, i] @ p[0, i].t() / float(ph * pw)).numpy()
+            for i in range(nH * nW)
+        ])
+        got = np.asarray(
+            style_patch_grams(trunk_features(params, x_nhwc[:1], spec),
+                              spec.patch_div)
+        )[0]
+        worst = _rel_drift(got, want)
+    return worst
+
+
 def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
     m = build_torch(family, hp, tasks, seed)
     rng = np.random.RandomState(seed + 2)
     x_nchw = rng.randn(2, 3, 224, 224).astype(np.float32) * 0.7
+    x_nhwc = np.transpose(x_nchw, (0, 2, 3, 1))
     with torch.no_grad():
         want = {t: v.numpy() for t, v in m(torch.from_numpy(x_nchw)).items()}
 
@@ -185,14 +247,13 @@ def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
         spec = mod.build_spec(tasks, hp)
         params = checkpoint.load_torch_checkpoint(family, pth, spec)
 
-    logits, _ = mod.apply(params, np.transpose(x_nchw, (0, 2, 3, 1)), spec)
+    logits, _ = mod.apply(params, x_nhwc, spec)
     logits = np.asarray(logits)
     worst = 0.0
     for i, task in enumerate(spec.tasks.names):
         got = logits[:, i, : want[task].shape[1]]
-        scale = max(1.0, float(np.abs(want[task]).max()))
-        drift = float(np.abs(got - want[task]).max()) / scale
-        worst = max(worst, drift)
+        worst = max(worst, _rel_drift(got, want[task]))
+    worst = max(worst, _aux_drift(family, m, mod, params, spec, x_nchw, x_nhwc))
     return worst
 
 

@@ -44,8 +44,18 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Per-family compiled batch (memory-comfortable on one v5e chip).
-FAMILY_BATCH = {"pmg": 512, "pm": 256, "rtm": 256}
+# Per-family compiled batch — measured sweep winners, not memory limits:
+# RTM peaks at 128 for BOTH dtypes (bf16: 13.7k vs 12.6k at 256, with
+# 64/96/160/192/512/1024 all lower; f32: 7.87k vs 7.69k same-day — 2026-08-18
+# sweep via `bench.py --family rtm --batch N`).  PM 512 measured -2.6%,
+# PMG >512 loses (tools/exp_pmg_batch.py).
+FAMILY_BATCH = {"pmg": 512, "pm": 256, "rtm": 128}
+# Hook for winners that differ by dtype within a family (none currently).
+DTYPE_BATCH = {}
+
+
+def default_batch(family: str, dtype_name: str) -> int:
+    return DTYPE_BATCH.get((family, dtype_name), FAMILY_BATCH[family])
 # Forwards per device loop (the short chain; a 2x chain is also timed and
 # the difference cancels the fixed per-dispatch relay round-trip — see
 # measure()).  All >=20 per CLAUDE.md's honest-timing amortization rule.
@@ -251,7 +261,7 @@ def main():
         matrix = {}
         for family in ("pmg", "pm", "rtm"):
             for dtype_name in ("f32", "bf16"):
-                batch = args.batch or FAMILY_BATCH[family]
+                batch = args.batch or default_batch(family, dtype_name)
                 ips = measure(family, dtype_name, batch, args.layout)
                 matrix[f"{family}_{dtype_name}"] = {
                     "images_per_sec": round(ips, 1), "batch": batch,
@@ -265,7 +275,7 @@ def main():
         print(json.dumps(result_line("pmg", "f32", headline)))
         return
 
-    batch = args.batch or FAMILY_BATCH[args.family]
+    batch = args.batch or default_batch(args.family, args.dtype)
     ips = measure(args.family, args.dtype, batch, args.layout)
     print(json.dumps(result_line(args.family, args.dtype, ips)))
 

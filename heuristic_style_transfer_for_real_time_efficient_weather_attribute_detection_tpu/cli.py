@@ -29,10 +29,13 @@ MODES = [
 
 
 def build_argparser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="weather",
         description="TPU-native multi-task weather attribute detection",
     )
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
     p.add_argument("family", choices=["pm", "pmg", "rtm"], help="model family")
     p.add_argument("--data", type=str, help="dataset manifest JSON")
     p.add_argument("--build_classifier", type=str, default=None,

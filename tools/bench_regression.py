@@ -91,7 +91,7 @@ def main() -> int:
         if args.only and cfg != args.only:
             continue
         family, dtype = cfg.rsplit("_", 1)
-        batch = bench.FAMILY_BATCH[family]
+        batch = bench.default_batch(family, dtype)
         ips = bench.measure(family, dtype, batch)
         measured[cfg] = round(ips, 1)
         ratio = ips / floor

@@ -57,7 +57,6 @@ def main():
 
     bench.wait_for_healthy_device(deadline_s=300.0)
 
-    import bench
     from wadt.engine.executor import Engine
     from wadt.workloads.serve import InferenceServer
 

@@ -153,8 +153,6 @@ def main():
 
     bench.wait_for_healthy_device(deadline_s=300.0)
 
-    import bench
-
     out = {
         "device": None,
         "date": datetime.date.today().isoformat(),
@@ -171,8 +169,10 @@ def main():
     out["device"] = str(jax.devices()[0])
 
     for family in args.families.split(","):
-        batches = [bench.FAMILY_BATCH[family]] + ([1] if args.batch1 else [])
         for dtype_name in args.dtypes.split(","):
+            batches = [bench.default_batch(family, dtype_name)]
+            if args.batch1:
+                batches.append(1)
             for batch in batches:
                 key = f"{family}_{dtype_name}_b{batch}"
                 try:

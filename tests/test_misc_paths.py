@@ -153,3 +153,24 @@ def test_parity_diff_json_comparator():
     fails = []
     _diff_json({"a": nan}, {"a": nan}, "", fails, 1e-6)
     assert fails == []
+
+
+def test_load_engine_one_call():
+    """wadt.load_engine: checkpoint path -> Engine in one call (sidecar
+    discovery + SE probe semantics of the CLI build path, no argparse)."""
+    import os
+
+    import wadt
+    from tests.conftest import FIXTURES
+
+    eng = wadt.load_engine("pmg", os.path.join(FIXTURES, "pmg_shipped.pth"),
+                           batch_size=4)
+    out = eng.run(np.random.randint(0, 256, (3, 224, 224, 3), np.uint8))
+    assert out["preds"].shape == (3, 12)
+
+    # dict registry + explicit hparams, no checkpoint -> random init
+    eng2 = wadt.load_engine("pm", tasks={"A": ["x", "y"]},
+                            hparams={"ndf": 8, "patch_size": 16}, batch_size=2)
+    assert eng2.run(np.random.randint(0, 256, (1, 224, 224, 3), np.uint8))[
+        "preds"
+    ].shape == (1, 1)

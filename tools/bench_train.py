@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 64}
 # bf16 halves activation memory: RTM sustains (and prefers) batch 256
-# (sweep 2026-08-16: 64 -> 1579, 128 -> 1880, 256 -> 2072 img/s)
+# (sweep 2026-08-16: 64 -> 1579, 128 -> 1880, 256 -> 2072 img/s; 512 -> 2031
+# on 2026-08-18 — 256 is the peak.  pmg_bf16 512 -> 101k vs 110k at 256.)
 BF16_FAMILY_BATCH = {"pmg": 256, "pm": 128, "rtm": 256}
 INNER = {"pmg": 50, "pm": 20, "rtm": 10}  # short chain; 2x also timed
 REPEATS = 3

@@ -207,8 +207,6 @@ def build_engine(args) -> "Any":
 
     from .config import load_hparams, load_tasks
     from .engine import checkpoint
-    from .engine.executor import Engine
-    from .models import get_family
     from .utils.reporting import print_model_parameters
 
     if args.parity_precision:
@@ -228,15 +226,12 @@ def build_engine(args) -> "Any":
     print(f"Tasks: {len(tasks)} -> {list(tasks)}")
     hparams: Dict[str, Any] = load_hparams(args.config_path, args.model_path)
 
-    state = None
     native_dir = args.model_path and os.path.isdir(args.model_path)
-    if args.model_path and not native_dir:
-        state = checkpoint.load_state_dict(args.model_path)
     if args.family == "pm":
         # CLI fallbacks for the attention-head knobs — a config/sidecar
         # value wins, mirroring the reference precedence
-        # (test_PM.py:146-150); the checkpoint SE probe decides
-        # attn_use_se whenever weights are loaded.
+        # (test_PM.py:146-150).  attn_use_se is decided by load_engine's
+        # checkpoint SE probe whenever weights are loaded (test_PM.py:149-150).
         hparams.setdefault("attn_tau", args.attn_tau)
         hparams.setdefault("attn_softmax_spatial", not args.attn_no_softmax)
         # ablate_attention: the reference passes the CLI value straight to
@@ -248,36 +243,12 @@ def build_engine(args) -> "Any":
         # model class)
         if args.attn_use_se:
             hparams.setdefault("attn_use_se", True)
-        if state is not None:
-            # SE auto-probe overrides config (test_PM.py:149-150).
-            hparams["attn_use_se"] = checkpoint.checkpoint_has_se(state)
     if args.family == "rtm":
         hparams.setdefault("use_attention", not args.no_attention)
         if args.attn_token_dim is not None:
             hparams.setdefault("attn_token_dim", args.attn_token_dim)
         hparams.setdefault("cls_hidden_dims", args.cls_hidden_dims)
         hparams.setdefault("cls_num_layers", args.cls_num_layers)
-
-    mod = get_family(args.family)
-    spec = mod.build_spec(tasks, hparams)
-    if state is not None:
-        params = checkpoint.convert(args.family, state, spec)
-        print(f"Model loaded from {args.model_path}")
-    elif native_dir:
-        # Orbax-native checkpoint directory (e.g. a trainer's best_model/).
-        params = checkpoint.load_native(
-            args.model_path, like=mod.init(jax.random.PRNGKey(0), spec)
-        )
-        print(f"Native (Orbax) checkpoint loaded from {args.model_path}")
-    else:
-        print("[WARN] no --model_path: random initialization")
-        params = mod.init(jax.random.PRNGKey(0), spec)
-
-    if args.count_params:
-        print_model_parameters(args.family, params, spec)
-    if args.export_torch:
-        checkpoint.save_torch_checkpoint(args.family, params, spec, args.export_torch)
-        print(f"exported torch-format checkpoint to {args.export_torch}")
 
     mesh = None
     if args.data_parallel:
@@ -295,15 +266,34 @@ def build_engine(args) -> "Any":
         else:
             print("[data_parallel] single device visible; running unsharded")
 
-    return Engine(
+    from . import load_engine
+
+    engine = load_engine(
         args.family,
-        spec,
-        params,
+        args.model_path,
+        tasks,
+        hparams,
         batch_size=args.batch_size,
         prob_threshold=args.prob_threshold,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         mesh=mesh,
     )
+    if native_dir:
+        print(f"Native (Orbax) checkpoint loaded from {args.model_path}")
+    elif args.model_path:
+        print(f"Model loaded from {args.model_path}")
+    else:
+        print("[WARN] no --model_path: random initialization")
+
+    if args.count_params:
+        print_model_parameters(args.family, engine.params, engine.spec)
+    if args.export_torch:
+        checkpoint.save_torch_checkpoint(
+            args.family, engine.params, engine.spec, args.export_torch
+        )
+        print(f"exported torch-format checkpoint to {args.export_torch}")
+
+    return engine
 
 
 def make_loader(args, engine):

@@ -114,8 +114,8 @@ def _stack_padded(
         if wi.shape[0] > kmax:
             raise ValueError(
                 f"checkpoint head #{i} has {wi.shape[0]} classes but the "
-                f"task registry's widest task has {kmax} — the "
-                f"--build_classifier registry does not match the one this "
+                f"task registry's widest task has {kmax} — the registry "
+                f"(CLI: --build_classifier) does not match the one this "
                 f"checkpoint was trained with"
             )
         w[i, :, : wi.shape[0]] = wi.T

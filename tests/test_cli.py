@@ -212,8 +212,9 @@ def test_pyproject_metadata_consistent():
     import tomllib
 
     import wadt
+    from tests.conftest import REPO
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
         meta = tomllib.load(f)
     proj = meta["project"]
     assert proj["version"] == wadt.__version__

@@ -174,3 +174,14 @@ def test_load_engine_one_call():
     assert eng2.run(np.random.randint(0, 256, (1, 224, 224, 3), np.uint8))[
         "preds"
     ].shape == (1, 1)
+
+    # PM SE auto-probe (test_PM.py:149-150): the checkpoint decides, both ways
+    import json
+
+    for ck, want_se in (("pm_small", True), ("pm_no_se", False)):
+        meta = json.load(open(os.path.join(FIXTURES, f"{ck}.json")))
+        # pass the WRONG value in hparams: the checkpoint probe must win
+        hp = {**meta["hparams"], "attn_use_se": not want_se}
+        eng3 = wadt.load_engine("pm", os.path.join(FIXTURES, f"{ck}.pth"),
+                                tasks=meta["tasks"], hparams=hp)
+        assert eng3.spec.attn_use_se is want_se, ck

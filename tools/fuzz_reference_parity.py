@@ -232,6 +232,37 @@ def _aux_drift(family: str, m, mod, params, spec, x_nchw, x_nhwc) -> float:
     return worst
 
 
+def _mutate_rtm_keys(sd, schema: str):
+    """Rewrite an RTM state dict into one of the reference's accepted
+    checkpoint key schemas (Functions/RTM_evaluation.py:545-620):
+    ``module.``-prefixed (DataParallel), ``backbone.<root>`` names, or raw
+    torchvision root names."""
+    from wadt.engine.checkpoint import _SEQ_TO_NAME
+
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("truncated_encoder.") and schema in ("backbone", "raw"):
+            seq, _, tail = k[len("truncated_encoder."):].partition(".")
+            name = _SEQ_TO_NAME[int(seq)]
+            out[f"{name}.{tail}" if schema == "raw" else f"backbone.{name}.{tail}"] = v
+        elif schema == "module":
+            out[f"module.{k}"] = v
+        else:
+            out[k] = v
+    return out
+
+
+def _trees_equal(a, b) -> bool:
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return len(leaves_a) == len(leaves_b) and all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(leaves_a, leaves_b)
+    )
+
+
 def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
     m = build_torch(family, hp, tasks, seed)
     rng = np.random.RandomState(seed + 2)
@@ -246,6 +277,13 @@ def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
         mod = get_family(family)
         spec = mod.build_spec(tasks, hp)
         params = checkpoint.load_torch_checkpoint(family, pth, spec)
+        if family == "rtm":
+            # every accepted key schema must convert to the SAME pytree
+            for schema in ("module", "backbone", "raw"):
+                torch.save(_mutate_rtm_keys(m.state_dict(), schema), pth)
+                p2 = checkpoint.load_torch_checkpoint(family, pth, spec)
+                if not _trees_equal(params, p2):
+                    raise AssertionError(f"key schema {schema!r} converts differently")
 
     logits, _ = mod.apply(params, x_nhwc, spec)
     logits = np.asarray(logits)

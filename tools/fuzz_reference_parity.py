@@ -51,6 +51,7 @@ from wadt.models import get_family  # noqa: E402
 # (torchvision is absent here; the clone reproduces its module layout).
 from make_fixtures import (  # noqa: E402
     ResNet50,
+    gradcam_reference,
     randomize_bn_stats,
     MultiTaskPatchGAN,
     MultiTaskPatchGANGramModelNonOverlapV2,
@@ -252,6 +253,73 @@ def _mutate_rtm_keys(sd, schema: str):
     return out
 
 
+def _gradcam_drift(family, m, spec, params, x_nchw, x_nhwc, tasks) -> float:
+    """Grad-CAM parity per random spec: the reference's target layer is the
+    last top-level Conv2d found by a reversed scan (the last trunk conv for
+    PM/PMG at ANY random depth, the stem conv1 for RTM — the scan never
+    enters the layerN Sequentials).  gradcam_split must land on the same
+    layer and reproduce the normalized CAM."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.workloads.explain import gradcam_split
+
+    trunk = {"pm": getattr(m, "trunk", None),
+             "pmg": getattr(m, "feature_extractor", None),
+             "rtm": getattr(m, "truncated_encoder", None)}[family]
+    task0 = list(tasks)[0]
+    cls = [0, min(1, len(tasks[task0]) - 1)]
+    want = gradcam_reference(m, trunk, x_nchw, task0, cls)
+    # Raw (pre-normalization) torch CAM + its cancellation-free magnitude
+    # bound, to detect DEGENERATE cams: when the class-gradient channel sum
+    # cancels to ~0 (common for 2-class heads summing both class grads),
+    # the per-image min-max normalization divides float noise by float
+    # noise and the map is unverifiable — skip the normalized diff there.
+    import torch.nn as nn
+
+    convs = [l for l in trunk if isinstance(l, nn.Conv2d)]
+    acts = {}
+    hook = convs[-1].register_forward_hook(
+        lambda mo, i, o: acts.__setitem__("a", o))
+    try:
+        xt = torch.from_numpy(x_nchw).requires_grad_(True)
+        sel = m(xt)[task0].gather(1, torch.as_tensor(cls)[:, None]).sum()
+        grads_t = torch.autograd.grad(sel, acts["a"])[0]
+    finally:
+        hook.remove()
+    w_t = grads_t.mean(dim=(2, 3), keepdim=True)
+    raw_t = torch.relu((acts["a"] * w_t).sum(1)).detach().numpy()
+    # Cancellation-free magnitude bound: use mean |grads| (not |mean grads| —
+    # the spatial mean itself can cancel to float noise, as can the channel
+    # sum; a CAM far below this bound is numerically meaningless).
+    bound = float(
+        acts["a"].detach().abs().max()
+        * grads_t.abs().mean(dim=(2, 3)).max()
+        * acts["a"].shape[1])
+
+    target_feats, head_from = gradcam_split(family, spec)
+    feats = target_feats(params, jnp.asarray(x_nhwc))
+    ti = spec.tasks.names.index(task0)
+    cls_j = jnp.asarray(np.asarray(cls, np.int32))
+
+    def head_target(f):
+        lg = head_from(params, f)
+        return jnp.sum(jnp.take_along_axis(lg[:, ti, :], cls_j[:, None], axis=-1))
+
+    grads = jax.grad(head_target)(feats)
+    w = jnp.mean(grads, axis=(1, 2), keepdims=True)
+    raw = np.asarray(jax.nn.relu(jnp.sum(feats * w, axis=-1)))
+
+    if raw_t.max() < 1e-2 * bound:  # degenerate: cam cancels below noise
+        assert raw.max() < 2e-2 * bound, \
+            f"torch cam ~0 ({raw_t.max():.1e} of bound {bound:.1e}) but ours isn't ({raw.max():.1e})"
+        return 0.0
+    lo = raw.min(axis=(1, 2), keepdims=True)
+    hi = raw.max(axis=(1, 2), keepdims=True)
+    cam = (raw - lo) / np.maximum(hi - lo, 1e-7)
+    return float(np.abs(cam - want).max())
+
+
 def _trees_equal(a, b) -> bool:
     import jax
 
@@ -292,6 +360,9 @@ def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
         got = logits[:, i, : want[task].shape[1]]
         worst = max(worst, _rel_drift(got, want[task]))
     worst = max(worst, _aux_drift(family, m, mod, params, spec, x_nchw, x_nhwc))
+    cam_drift = _gradcam_drift(family, m, spec, params, x_nchw, x_nhwc, tasks)
+    if cam_drift > 5e-3:  # CAMs are per-image min-max normalized to [0,1]
+        raise AssertionError(f"gradcam drift {cam_drift:.2e} > 5e-3")
     return worst
 
 

@@ -45,7 +45,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Per-family compiled batch — measured sweep winners, not memory limits:
-# RTM peaks at 128 for BOTH dtypes (bf16: 13.7k vs 12.6k at 256, with
+# RTM peaks at 128 for BOTH dtypes (bf16: 13.5k recorded in
+# bench_matrix.json — the sweep run itself read 13.7k, within the run
+# spread — vs 12.6k at 256, with
 # 64/96/160/192/512/1024 all lower; f32: 7.87k vs 7.69k same-day — 2026-08-18
 # sweep via `bench.py --family rtm --batch N`).  PM: 128/512 measured
 # -1.4%/-2.5% f32 (512 -2.6% bf16).  PMG: >512 loses (tools/exp_pmg_batch.py);

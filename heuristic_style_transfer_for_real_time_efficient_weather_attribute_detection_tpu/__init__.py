@@ -62,6 +62,9 @@ def load_engine(
     from .engine.executor import Engine
     from .models import get_family
 
+    # Falsy paths ("" from an unset shell var) mean "no checkpoint", same
+    # as the CLI's truthiness checks — normalize before sidecar discovery.
+    model_path = model_path or None
     if tasks is None:
         tasks = default_tasks_path()
     if isinstance(tasks, (str, os.PathLike)):

@@ -43,3 +43,12 @@ def test_alias_config_state_is_shared():
 
     real_cfg = importlib.import_module(f"{REAL}.config")
     assert cfg_alias is real_cfg
+
+
+def test_find_spec_rejects_missing_submodules():
+    # The redirect must only claim names whose real counterpart exists:
+    # optional-dependency probes rely on find_spec returning None.
+    assert importlib.util.find_spec("wadt.no_such_submodule_xyz") is None
+    assert importlib.util.find_spec("wadt.ops.no_such_kernel_xyz") is None
+    # ... while existing ones still resolve through the redirect.
+    assert importlib.util.find_spec("wadt.ops.gram") is not None

@@ -185,3 +185,11 @@ def test_load_engine_one_call():
         eng3 = wadt.load_engine("pm", os.path.join(FIXTURES, f"{ck}.pth"),
                                 tasks=meta["tasks"], hparams=hp)
         assert eng3.spec.attn_use_se is want_se, ck
+
+    # empty-string model_path (unset $MODEL in a shell script) means "no
+    # checkpoint" like the CLI's truthiness checks — random init, no crash
+    eng4 = wadt.load_engine("pm", "", tasks={"A": ["x", "y"]},
+                            hparams={"ndf": 8, "patch_size": 16}, batch_size=2)
+    assert eng4.run(np.random.randint(0, 256, (1, 224, 224, 3), np.uint8))[
+        "preds"
+    ].shape == (1, 1)

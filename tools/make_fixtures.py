@@ -109,10 +109,18 @@ def randomize_bn_stats(model, seed):
             m.running_var.copy_(torch.rand(m.num_features, generator=g) * 1.5 + 0.2)
 
 
-def gradcam_reference(model, trunk_module, x_nchw, task, class_idx):
+def gradcam_reference(model, trunk_module, x_nchw, task, class_idx,
+                      return_raw=False):
     """Manual Grad-CAM with pytorch_grad_cam's algorithm: hook the LAST
     Conv2d of the trunk, weights = spatial mean of d(logit)/d(act),
-    cam = relu(sum_c w_c act_c), per-image min-max normalized."""
+    cam = relu(sum_c w_c act_c), per-image min-max normalized.
+
+    ``return_raw=True`` also returns the pre-normalization CAM and a
+    cancellation-free magnitude bound (max |act| * max mean|grad| * C) so
+    callers (the parity fuzz) can detect DEGENERATE cams — where the
+    class-gradient channel sum cancels to ~0 and min-max normalization
+    divides float noise by float noise — without re-running the torch
+    forward/backward."""
     convs = [l for l in trunk_module if isinstance(l, nn.Conv2d)]
     acts = {}
     h = convs[-1].register_forward_hook(lambda m, i, o: acts.__setitem__("a", o))
@@ -124,10 +132,17 @@ def gradcam_reference(model, trunk_module, x_nchw, task, class_idx):
     finally:
         h.remove()
     w = grads.mean(dim=(2, 3), keepdim=True)
-    cam = torch.relu((acts["a"] * w).sum(1)).detach().numpy()
-    lo = cam.min(axis=(1, 2), keepdims=True)
-    hi = cam.max(axis=(1, 2), keepdims=True)
-    return (cam - lo) / np.maximum(hi - lo, 1e-7)
+    raw = torch.relu((acts["a"] * w).sum(1)).detach().numpy()
+    lo = raw.min(axis=(1, 2), keepdims=True)
+    hi = raw.max(axis=(1, 2), keepdims=True)
+    cam = (raw - lo) / np.maximum(hi - lo, 1e-7)
+    if not return_raw:
+        return cam
+    bound = float(
+        acts["a"].detach().abs().max()
+        * grads.abs().mean(dim=(2, 3)).max()
+        * acts["a"].shape[1])
+    return cam, raw, bound
 
 
 def make_input(seed, batch=2, size=224):

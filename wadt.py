@@ -27,9 +27,20 @@ class _AliasRedirect(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         self._saved = {}
 
     def find_spec(self, fullname, path=None, target=None):
-        if fullname == "wadt" or fullname.startswith("wadt."):
-            return importlib.util.spec_from_loader(fullname, self)
-        return None
+        if fullname != "wadt" and not fullname.startswith("wadt."):
+            return None
+        # Only claim names whose REAL counterpart exists — otherwise
+        # ``importlib.util.find_spec("wadt.nonexistent")`` (the standard
+        # optional-dependency probe) would return a truthy spec and defer
+        # the ModuleNotFoundError to import time under the wrong name.
+        real_name = _REAL + fullname[len("wadt"):]
+        if real_name not in sys.modules:
+            try:
+                if importlib.util.find_spec(real_name) is None:
+                    return None
+            except ModuleNotFoundError:
+                return None
+        return importlib.util.spec_from_loader(fullname, self)
 
     def create_module(self, spec):
         real_name = _REAL + spec.name[len("wadt"):]

@@ -169,6 +169,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_encoder", action="store_true")
     p.add_argument("--dropout_rate", type=float, default=0.1,
                    help="transformer train-mode dropout (reference default)")
+    p.add_argument("--augment", action="store_true",
+                   help="device-side train augmentation (random flip, "
+                        "<=8px translate, brightness/contrast jitter) fused "
+                        "into the jitted step; resume-exact")
     p.add_argument("--resume", action="store_true",
                    help="continue from save_dir/last_state (full optimizer state)")
     p.add_argument("--save_every", type=int, default=1,
@@ -380,7 +384,7 @@ def main(argv=None) -> int:
                 val_split=args.val_split, freeze_encoder=args.freeze_encoder,
                 num_workers=args.num_workers, dropout_rate=args.dropout_rate,
                 resume=args.resume, save_every=args.save_every,
-                bf16=args.bf16,
+                bf16=args.bf16, augment=args.augment,
             ),
             init_params=engine.params if args.model_path else None,
             # --data_parallel: shard train batches over the engine's mesh

@@ -207,6 +207,7 @@ def make_train_step(
     dropout_rate: float = 0.1,
     dropout_seed: int = 1234,
     compute_dtype: Any = None,
+    augment: Optional[dict] = None,
 ) -> Tuple[Callable, Callable]:
     """Returns (init_fn(key) -> TrainState, step_fn(state, images, labels)).
 
@@ -219,6 +220,12 @@ def make_train_step(
     (reference hardcodes 0.1, models_PMG.py:146; rng folds the step counter
     so every step draws fresh masks); ``freeze_encoder`` zeroes
     trunk/backbone gradients (the recorded ``freeze_encoder`` option).
+
+    ``augment`` (a kwargs dict for :func:`ops.augment.augment_batch`, or
+    ``True`` for :data:`ops.augment.DEFAULT_AUGMENT`) applies device-side
+    random flip/translate/brightness/contrast inside the jitted step,
+    keyed by the step counter so resumed runs replay the straight run's
+    exact augmentation schedule.
 
     ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 against
     f32 master weights (the cast sits inside loss_fn, so gradients come back
@@ -240,6 +247,13 @@ def make_train_step(
         or (dropout_rate > 0 and has_dropout_sites)
     )
     drop_key = jax.random.PRNGKey(dropout_seed)
+    aug_kwargs = None
+    if augment:
+        from ..ops.augment import DEFAULT_AUGMENT, augment_batch
+
+        aug_kwargs = dict(DEFAULT_AUGMENT) if augment is True else dict(augment)
+        # distinct stream from dropout: both fold the same step counter
+        aug_key = jax.random.PRNGKey(dropout_seed ^ 0x5EED)
 
     cdt = compute_dtype
     # In batch-stat train mode the forward never READS the running stats (it
@@ -308,6 +322,10 @@ def make_train_step(
         )
 
     def step(state: TrainState, images, labels):
+        if aug_kwargs is not None:
+            images = augment_batch(
+                jax.random.fold_in(aug_key, state.step), images, **aug_kwargs
+            )
         (loss, stat_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, labels, state.step
         )

@@ -65,6 +65,10 @@ DEFAULT_OPTIONS: Dict[str, Any] = {
     "cache_budget_bytes": 4 << 30,
     # bf16 forward/backward against f32 master weights (mixed precision)
     "bf16": False,
+    # device-side augmentation inside the jitted step (flip/translate/
+    # brightness/contrast; True = ops.augment.DEFAULT_AUGMENT, or a kwargs
+    # dict).  Keyed by the step counter, so resume replays it exactly.
+    "augment": False,
 }
 
 
@@ -174,6 +178,7 @@ def fit(
         class_weights=class_weights, freeze_encoder=opts["freeze_encoder"],
         dropout_rate=opts["dropout_rate"], dropout_seed=opts["seed"] + 1234,
         compute_dtype=(jnp.bfloat16 if opts["bf16"] else None),
+        augment=opts["augment"],
     )
     state = init_fn(jax.random.PRNGKey(opts["seed"]))
     if init_params is not None:

@@ -109,6 +109,32 @@ def test_train_matches_unsharded():
     assert abs(results[0] - results[1]) < 1e-4, results
 
 
+def test_train_augment_matches_unsharded():
+    """Augmentation inside the dp-sharded step (replicated rng, vmapped
+    dynamic_slice crops over the sharded batch axis) must agree with the
+    unsharded step exactly like the plain path does."""
+    import jax
+
+    from wadt.parallel.mesh import make_mesh
+    from wadt.parallel.train import make_train_step
+
+    spec, _ = _spec_params()
+    rng = np.random.RandomState(2)
+    images = rng.randn(8, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+
+    results = []
+    for mesh in (None, make_mesh(8, axes=("data", "model"), shape=(4, 2))):
+        init_fn, step_fn = make_train_step(
+            "pmg", spec, mesh=mesh, augment={"translate": 2}, dropout_rate=0.0
+        )
+        state = init_fn(jax.random.PRNGKey(0))
+        for _ in range(2):
+            state, loss = step_fn(state, images, labels)
+        results.append(float(loss))
+    assert abs(results[0] - results[1]) < 1e-4, results
+
+
 def test_orbax_roundtrip(tmp_path):
     import jax
 

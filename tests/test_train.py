@@ -170,6 +170,91 @@ def test_mixed_precision_train_step():
     assert losses[-1] < losses[0]
 
 
+def test_augment_batch_properties():
+    """Device-side augmentation: identity at zero knobs, deterministic per
+    key, flip-only output is exactly image-or-mirror, translate stays within
+    the padded window."""
+    import jax
+
+    from wadt.ops.augment import augment_batch
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, 16, 16, 3).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+
+    # all knobs off -> identity
+    out = augment_batch(key, x, flip=False, translate=0,
+                        brightness=0.0, contrast=0.0)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+    # deterministic per key; different keys differ
+    a1 = np.asarray(augment_batch(key, x))
+    a2 = np.asarray(augment_batch(key, x))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, np.asarray(augment_batch(jax.random.PRNGKey(8), x)))
+
+    # flip-only: each image is itself or its exact horizontal mirror
+    f = np.asarray(augment_batch(key, x, flip=True, translate=0,
+                                 brightness=0.0, contrast=0.0))
+    flipped = x[:, :, ::-1, :]
+    for i in range(len(x)):
+        assert np.array_equal(f[i], x[i]) or np.array_equal(f[i], flipped[i]), i
+    # ... and both outcomes occur across a batch of 6 with this key
+    same = [np.array_equal(f[i], x[i]) for i in range(len(x))]
+    assert any(same) and not all(same)
+
+    # translate-only: every output row/col exists in the edge-padded input
+    t = np.asarray(augment_batch(key, x, flip=False, translate=3,
+                                 brightness=0.0, contrast=0.0))
+    padded = np.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="edge")
+    for i in range(len(x)):
+        hits = [
+            np.array_equal(t[i], padded[i, oy : oy + 16, ox : ox + 16])
+            for oy in range(7)
+            for ox in range(7)
+        ]
+        assert any(hits), i
+
+    # photometric-only: shape/dtype preserved, bounded change
+    p = np.asarray(augment_batch(key, x, flip=False, translate=0,
+                                 brightness=0.2, contrast=0.2))
+    assert p.shape == x.shape and p.dtype == x.dtype
+    assert not np.array_equal(p, x)
+
+
+def test_train_step_with_augmentation():
+    """augment=True in make_train_step: loss stays finite, params move, and
+    the same state yields the SAME augmented loss twice (step-keyed rng);
+    resume-exactness follows from keying on state.step."""
+    import jax
+
+    from wadt.parallel.train import make_train_step
+
+    spec = pmg.build_spec(TASKS, TINY)
+    init_fn, step_fn = make_train_step("pmg", spec, bn_train=False,
+                                       dropout_rate=0.0, augment=True)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(8, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+
+    _, loss_a = step_fn(state, imgs, labels)
+    _, loss_b = step_fn(state, imgs, labels)
+    assert float(loss_a) == float(loss_b)  # same step counter -> same draws
+
+    # unaugmented loss differs (the augmentation actually perturbs inputs)
+    _, step_plain = make_train_step("pmg", spec, bn_train=False,
+                                    dropout_rate=0.0)
+    _, loss_plain = step_plain(state, imgs, labels)
+    assert float(loss_plain) != float(loss_a)
+
+    # a later step uses different draws
+    s1, _ = step_fn(state, imgs, labels)
+    _, loss_next = step_fn(s1, imgs, labels)
+    assert np.isfinite(float(loss_next))
+    assert float(loss_next) != float(loss_a)
+
+
 def test_rtm_bn_train_updates_backbone_stats():
     import jax
 

@@ -26,8 +26,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# fit()/CLI defaults for ``--augment``: flip + up-to-8px translation + mild
-# photometric jitter — the standard light recipe for 224px classification.
+# fit()/CLI recipe for ``--augment``/``augment=True``: flip + up-to-8px
+# translation + mild photometric jitter — the standard light recipe for
+# 224px classification.  This dict is the ONE place the recipe lives; the
+# ``augment_batch`` signature defaults are all OFF, so a partial kwargs dict
+# enables exactly the knobs it names and nothing else.
 DEFAULT_AUGMENT = {
     "flip": True,
     "translate": 8,
@@ -40,10 +43,10 @@ def augment_batch(
     key,
     images: jnp.ndarray,
     *,
-    flip: bool = True,
-    translate: int = 8,
-    brightness: float = 0.1,
-    contrast: float = 0.1,
+    flip: bool = False,
+    translate: int = 0,
+    brightness: float = 0.0,
+    contrast: float = 0.0,
 ) -> jnp.ndarray:
     """Randomly augment a normalized NHWC float batch, preserving shape/dtype.
 
@@ -54,7 +57,9 @@ def augment_batch(
     - ``contrast``: per-image scale in [1-c, 1+c] around the image mean.
     - ``brightness``: per-image additive offset in [-b, b] (normalized units).
 
-    All knobs at 0/False make this the identity.  Deterministic per ``key``.
+    Every knob defaults to OFF (identity): pass :data:`DEFAULT_AUGMENT` (or
+    ``augment=True`` upstream) for the standard recipe, or name only the
+    knobs you want.  Deterministic per ``key``.
     """
     b, h, w, c = images.shape
     kf, kt, kb, kc = jax.random.split(key, 4)

@@ -248,10 +248,20 @@ def make_train_step(
     )
     drop_key = jax.random.PRNGKey(dropout_seed)
     aug_kwargs = None
-    if augment:
+    if augment is not None and augment is not False:
         from ..ops.augment import DEFAULT_AUGMENT, augment_batch
 
-        aug_kwargs = dict(DEFAULT_AUGMENT) if augment is True else dict(augment)
+        if augment is True:
+            aug_kwargs = dict(DEFAULT_AUGMENT)
+        elif isinstance(augment, dict):
+            # a dict names exactly the knobs to enable ({} -> full recipe,
+            # matching the documented "True or a kwargs dict" contract)
+            aug_kwargs = dict(augment) if augment else dict(DEFAULT_AUGMENT)
+        else:
+            raise TypeError(
+                "augment must be True/False/None or a kwargs dict for "
+                f"ops.augment.augment_batch, got {type(augment).__name__}"
+            )
         # distinct stream from dropout: both fold the same step counter
         aug_key = jax.random.PRNGKey(dropout_seed ^ 0x5EED)
 

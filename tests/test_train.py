@@ -176,26 +176,27 @@ def test_augment_batch_properties():
     the padded window."""
     import jax
 
-    from wadt.ops.augment import augment_batch
+    from wadt.ops.augment import DEFAULT_AUGMENT, augment_batch
 
     rng = np.random.RandomState(0)
     x = rng.randn(6, 16, 16, 3).astype(np.float32)
     key = jax.random.PRNGKey(7)
 
-    # all knobs off -> identity
-    out = augment_batch(key, x, flip=False, translate=0,
-                        brightness=0.0, contrast=0.0)
+    # signature defaults are all OFF -> identity (a partial kwargs dict
+    # enables only what it names)
+    out = augment_batch(key, x)
     np.testing.assert_array_equal(np.asarray(out), x)
 
-    # deterministic per key; different keys differ
-    a1 = np.asarray(augment_batch(key, x))
-    a2 = np.asarray(augment_batch(key, x))
+    # deterministic per key; different keys differ (full recipe)
+    a1 = np.asarray(augment_batch(key, x, **DEFAULT_AUGMENT))
+    a2 = np.asarray(augment_batch(key, x, **DEFAULT_AUGMENT))
     np.testing.assert_array_equal(a1, a2)
-    assert not np.array_equal(a1, np.asarray(augment_batch(jax.random.PRNGKey(8), x)))
+    assert not np.array_equal(
+        a1, np.asarray(augment_batch(jax.random.PRNGKey(8), x, **DEFAULT_AUGMENT))
+    )
 
     # flip-only: each image is itself or its exact horizontal mirror
-    f = np.asarray(augment_batch(key, x, flip=True, translate=0,
-                                 brightness=0.0, contrast=0.0))
+    f = np.asarray(augment_batch(key, x, flip=True))
     flipped = x[:, :, ::-1, :]
     for i in range(len(x)):
         assert np.array_equal(f[i], x[i]) or np.array_equal(f[i], flipped[i]), i
@@ -204,8 +205,7 @@ def test_augment_batch_properties():
     assert any(same) and not all(same)
 
     # translate-only: every output row/col exists in the edge-padded input
-    t = np.asarray(augment_batch(key, x, flip=False, translate=3,
-                                 brightness=0.0, contrast=0.0))
+    t = np.asarray(augment_batch(key, x, translate=3))
     padded = np.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="edge")
     for i in range(len(x)):
         hits = [
@@ -216,10 +216,16 @@ def test_augment_batch_properties():
         assert any(hits), i
 
     # photometric-only: shape/dtype preserved, bounded change
-    p = np.asarray(augment_batch(key, x, flip=False, translate=0,
-                                 brightness=0.2, contrast=0.2))
+    p = np.asarray(augment_batch(key, x, brightness=0.2, contrast=0.2))
     assert p.shape == x.shape and p.dtype == x.dtype
     assert not np.array_equal(p, x)
+
+    # make_train_step contract: {} means the full default recipe, and a
+    # non-dict truthy value is a clear TypeError (not a cryptic dict() crash)
+    from wadt.parallel.train import make_train_step  # noqa: PLC0415
+
+    with pytest.raises(TypeError, match="augment must be"):
+        make_train_step("pmg", pmg.build_spec(TASKS, TINY), augment=1)
 
 
 def test_train_step_with_augmentation():

@@ -256,6 +256,51 @@ def check_mixed_precision_train() -> bool:
     return losses[-1] < losses[0] and f32_ok
 
 
+def check_augmented_train() -> bool:
+    """The device-side augmentation path (ops/augment.py: edge-pad +
+    vmapped dynamic_slice, bernoulli flip, photometric jitter) fused into
+    the bf16 train step: Mosaic/XLA lowering gaps on this rig (CLAUDE.md)
+    make on-chip execution worth a dedicated check.  The augmented step
+    must perturb the loss vs the plain step, stay finite over 4 steps,
+    and be step-keyed deterministic (same state -> same loss twice)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import wadt  # noqa: F401
+    from wadt.models import pmg
+    from wadt.parallel.train import make_train_step
+
+    tasks = {"A": ["a0", "a1", "a2"], "B": ["b0", "b1"]}
+    tiny = dict(ndf=8, patch_size=64, patch_div=2, gram_channels=16,
+                d_model=32, transformer_layers=1, transformer_heads=2,
+                norm="batch")
+    spec = pmg.build_spec(tasks, tiny)
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(8, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
+
+    init_fn, step_aug = make_train_step(
+        "pmg", spec, compute_dtype=jnp.bfloat16, dropout_rate=0.0,
+        augment=True)
+    _, step_plain = make_train_step(
+        "pmg", spec, compute_dtype=jnp.bfloat16, dropout_rate=0.0)
+    state = init_fn(jax.random.PRNGKey(0))
+    _, la1 = step_aug(state, imgs, labels)
+    _, la2 = step_aug(state, imgs, labels)
+    _, lp = step_plain(state, imgs, labels)
+    losses = []
+    for _ in range(4):
+        state, loss = step_aug(state, imgs, labels)
+        losses.append(float(loss))
+    det = float(la1) == float(la2)
+    perturbs = float(la1) != float(lp)
+    finite = all(np.isfinite(v) for v in losses)
+    print(f"  [augment-train] aug {float(la1):.4f} (x2 equal: {det}) vs "
+          f"plain {float(lp):.4f}, 4 steps finite: {finite}")
+    return det and perturbs and finite
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--perf", action="store_true",
@@ -297,6 +342,9 @@ def main() -> int:
         ("mixed_precision_train",
          "mixed-precision train step (bf16 compute, f32 master)",
          check_mixed_precision_train),
+        ("augmented_train",
+         "device-side augmentation inside the bf16 train step",
+         check_augmented_train),
         ("export_parity",
          "AOT export artifact reproduces the live engine exactly",
          check_export_parity),

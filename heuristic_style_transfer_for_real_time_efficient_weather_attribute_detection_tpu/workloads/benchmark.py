@@ -40,6 +40,10 @@ def walk_benchmark_folder(
 ) -> List[Tuple[str, str]]:
     """[(image_path, top_level_class_dir)] (reference :38-49)."""
     known_tops = {c for names in bench_classes.values() for c in names}
+    # Suffix match (not splitext) to mirror the reference's
+    # ``fn.lower().endswith((...))`` filter (benchmark_utils.py:47): a
+    # dotfile named exactly ".jpg" is a valid image there.
+    exts = tuple(sorted(VALID_EXTS))
     images = []
     for root, _, files in os.walk(benchmark_folder):
         rel = os.path.relpath(root, benchmark_folder)
@@ -49,7 +53,7 @@ def walk_benchmark_folder(
         images.extend(
             (os.path.join(root, fn), top)
             for fn in files
-            if os.path.splitext(fn)[1].lower() in VALID_EXTS
+            if fn.lower().endswith(exts)
         )
     return images
 
@@ -248,7 +252,13 @@ def _task_summary(
             "precision_macro": float(precision_score(y_true, y_pred, average="macro", zero_division=0)),
             "recall_macro": float(recall_score(y_true, y_pred, average="macro", zero_division=0)),
             "f1_macro": float(f1_score(y_true, y_pred, average="macro", zero_division=0)),
-            "auc_macro": float(np.mean(defined)) if defined else None,
+            # Truthiness quirk kept for parity (benchmark_utils.py:170
+            # ``if any(auc_pc)``): when every DEFINED per-class AUC is
+            # exactly 0.0, the reference reports None, not 0.0 — found by
+            # tools/fuzz_benchmark_parity.py.
+            "auc_macro": (
+                float(np.mean(defined)) if any(a for a in auc_pc) else None
+            ),
         },
     }
 

@@ -10,7 +10,8 @@ both the JSON mapping and auto-mapping), folder inference
 and folder predictions (Functions/PM_evaluation.py:645
 `test_folder_predictions` — folder_predictions.json + all_predictions.json),
 plus a randomized-architecture logit-parity fuzz
-(tools/fuzz_reference_parity.py).
+(tools/fuzz_reference_parity.py) and a randomized benchmark-mode pipeline
+fuzz (tools/fuzz_benchmark_parity.py).
 Slow (~3 min: the reference
 evaluates eagerly on CPU) and needs /root/reference, so it is opt-in:
 WADT_REFERENCE_PARITY=1 python -m pytest tests/test_reference_parity.py
@@ -39,6 +40,21 @@ def test_metrics_identical(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "PARITY OK" in proc.stdout
+
+
+def test_fuzz_benchmark_mode():
+    """Randomized benchmark-MODE parity (tools/fuzz_benchmark_parity.py):
+    random folder trees / mapping JSONs / tiny specs, the reference's
+    test_benchmark_folder vs workloads/run_benchmark on identical weights,
+    best_mapping.json + benchmark_summary.json + artifact names diffed under
+    both mapping legs, with exact-Fraction tie adjudication for auto-map."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fuzz_benchmark_parity.py"),
+         "--n", "2", "--seed", "11"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "BENCHMARK FUZZ PARITY OK" in proc.stdout
 
 
 def test_fuzz_random_architectures():

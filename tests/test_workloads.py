@@ -181,6 +181,37 @@ def test_benchmark_auto_mapping(synth, engine, tmp_path):
     assert "Weather Type" in summary
 
 
+def test_walk_filter_matches_reference_suffix_semantics(tmp_path):
+    """The walk's image filter is a name-SUFFIX match (benchmark_utils.py:47):
+    a dotfile named exactly '.jpg' is an image; junk extensions and
+    case-mangled top dirs are skipped (membership is case-sensitive)."""
+    from wadt.workloads.benchmark import walk_benchmark_folder
+
+    d = tmp_path / "bench" / "sun"
+    d.mkdir(parents=True)
+    for name in (".jpg", "a.JPG", "b.txt", "noext"):
+        (d / name).write_bytes(b"x")
+    (tmp_path / "bench" / "SUN").mkdir()
+    (tmp_path / "bench" / "SUN" / "c.jpg").write_bytes(b"x")
+    found = walk_benchmark_folder(str(tmp_path / "bench"), {"T": ["sun"]})
+    names = sorted(os.path.basename(p) for p, _ in found)
+    assert names == [".jpg", "a.JPG"]
+    assert all(top == "sun" for _, top in found)
+
+
+def test_auc_macro_truthiness_quirk(tmp_path):
+    """Reference parity (benchmark_utils.py:170 ``if any(auc_pc)``): when
+    every DEFINED per-class AUC is exactly 0.0, auc_macro is None, not 0.0.
+    Found by tools/fuzz_benchmark_parity.py."""
+    from wadt.workloads.benchmark import _task_summary
+
+    y_true = np.array([0, 1])
+    p_bench = np.array([[0.1, 0.9], [0.9, 0.1]])  # both one-vs-rest AUCs 0.0
+    s = _task_summary("T", ["a", "b"], y_true, p_bench, str(tmp_path))
+    assert s["per_class"]["auc"] == {"a": 0.0, "b": 0.0}
+    assert s["global"]["auc_macro"] is None
+
+
 def test_auto_map_matches_exhaustive():
     """Coordinate-ascent auto-map must equal brute force on random instances."""
     from wadt.workloads.benchmark import EXHAUSTIVE_LIMIT, _macro_f1_from_assignment, auto_map_task

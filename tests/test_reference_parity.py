@@ -57,6 +57,20 @@ def test_fuzz_benchmark_mode():
     assert "BENCHMARK FUZZ PARITY OK" in proc.stdout
 
 
+def test_fuzz_eval_mode():
+    """Randomized classifier-eval parity (tools/fuzz_eval_parity.py):
+    random test sets (missing-label patterns, thresholds, tiny specs),
+    the reference's eval loops vs workloads/evaluate, metric artifacts
+    diffed with rank-instability gates on PMG AUCs."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fuzz_eval_parity.py"),
+         "--n", "2", "--seed", "9"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "EVAL FUZZ PARITY OK" in proc.stdout
+
+
 def test_fuzz_random_architectures():
     """Randomized-spec logit parity (tools/fuzz_reference_parity.py): random
     valid architectures per family, reference state_dict through our

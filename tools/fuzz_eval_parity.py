@@ -84,7 +84,12 @@ def build_dataset(base: str, tasks: dict, family: str, rng: random.Random) -> st
         Image.fromarray(arr).save(path)
         entry = {"image_path": path}
         for t, classes in tasks.items():
-            if family == "pmg" and rng.random() < 0.25:
+            # Keep every 4-image batch (both runners use batch_size=4) at
+            # least partly labeled: a batch with NO labeled sample for ANY
+            # task CRASHES the reference — batch_loss stays the float 0.0
+            # and `batch_loss.item()` raises (PMG_evaluation.py:152,
+            # reference defect found by this fuzz).
+            if family == "pmg" and i % 4 != 0 and rng.random() < 0.25:
                 continue  # unlabeled for this task -> IGNORE_INDEX path
             entry[t] = rng.choice(classes)
         manifest["all"][name] = entry

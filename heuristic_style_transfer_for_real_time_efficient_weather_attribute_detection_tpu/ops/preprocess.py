@@ -21,6 +21,17 @@ from PIL import Image
 from ..config import DEFAULT_IMG_SIZE, DEFAULT_RESIZE, IMAGENET_MEAN, IMAGENET_STD
 
 VALID_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+_IMAGE_SUFFIXES = tuple(sorted(VALID_EXTS))
+
+
+def is_image_name(fn: str) -> bool:
+    """Name-SUFFIX image filter, matching the reference pipelines that use
+    ``fn.lower().endswith((...))`` (benchmark_utils.py:47,
+    PM_evaluation.py:695, RTM_evaluation.py:789): unlike a splitext check,
+    a dotfile named exactly ".jpg" counts as an image.  The reference's
+    ``collect_image_paths`` (datasets_utils.py:77-87) is the splitext
+    variant — keep using VALID_EXTS there."""
+    return fn.lower().endswith(_IMAGE_SUFFIXES)
 
 
 def resize_shorter(img: Image.Image, size: int = DEFAULT_RESIZE) -> Image.Image:

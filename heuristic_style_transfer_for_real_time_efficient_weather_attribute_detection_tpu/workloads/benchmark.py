@@ -29,7 +29,7 @@ import numpy as np
 
 from ..data.dataset import BatchLoader
 from ..engine.executor import Engine
-from ..ops.preprocess import VALID_EXTS
+from ..ops.preprocess import is_image_name
 
 EXHAUSTIVE_LIMIT = 2_000_000  # max B**M states for brute force
 _CHUNK = 8192  # assignment vectors scored per einsum batch
@@ -40,10 +40,6 @@ def walk_benchmark_folder(
 ) -> List[Tuple[str, str]]:
     """[(image_path, top_level_class_dir)] (reference :38-49)."""
     known_tops = {c for names in bench_classes.values() for c in names}
-    # Suffix match (not splitext) to mirror the reference's
-    # ``fn.lower().endswith((...))`` filter (benchmark_utils.py:47): a
-    # dotfile named exactly ".jpg" is a valid image there.
-    exts = tuple(sorted(VALID_EXTS))
     images = []
     for root, _, files in os.walk(benchmark_folder):
         rel = os.path.relpath(root, benchmark_folder)
@@ -51,9 +47,7 @@ def walk_benchmark_folder(
         if rel == "." or top not in known_tops:
             continue
         images.extend(
-            (os.path.join(root, fn), top)
-            for fn in files
-            if fn.lower().endswith(exts)
+            (os.path.join(root, fn), top) for fn in files if is_image_name(fn)
         )
     return images
 
@@ -256,9 +250,7 @@ def _task_summary(
             # ``if any(auc_pc)``): when every DEFINED per-class AUC is
             # exactly 0.0, the reference reports None, not 0.0 — found by
             # tools/fuzz_benchmark_parity.py.
-            "auc_macro": (
-                float(np.mean(defined)) if any(a for a in auc_pc) else None
-            ),
+            "auc_macro": float(np.mean(defined)) if any(auc_pc) else None,
         },
     }
 

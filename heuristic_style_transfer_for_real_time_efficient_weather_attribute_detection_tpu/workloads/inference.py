@@ -33,7 +33,7 @@ from PIL import Image, ImageDraw, ImageFont
 
 from ..data.dataset import BatchLoader, collect_image_paths, map_folder_to_class
 from ..engine.executor import Engine
-from ..ops.preprocess import VALID_EXTS, load_image_uint8
+from ..ops.preprocess import VALID_EXTS, is_image_name, load_image_uint8
 
 TIMESTAMP_RE = re.compile(r"^\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}$")
 
@@ -295,7 +295,17 @@ def test_folder_predictions(
     eval_tasks = [target_task] if target_task else list(tasks.names)
     folder_task = target_task or tasks.names[0]
 
-    paths = collect_image_paths(test_folder)
+    # Suffix-filter walk, NOT collect_image_paths: this mode's reference
+    # counterpart uses ``file.lower().endswith(valid_extensions)``
+    # (PM_evaluation.py:691-695, RTM_evaluation.py:789) — a dotfile named
+    # exactly ".jpg" is a valid image here, unlike run_inference's
+    # splitext-based collect_image_paths (datasets_utils.py:77-87).
+    paths = [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(test_folder)
+        for fn in files
+        if is_image_name(fn)
+    ]
     probs, paths = _predict_batched(engine, paths, num_workers)
 
     results: Dict[str, Dict] = {}

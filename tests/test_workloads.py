@@ -141,6 +141,25 @@ def test_folder_predictions_schema(synth, engine, tmp_path):
     assert os.path.exists(os.path.join(save, "all_predictions.json"))
 
 
+def test_folder_predictions_includes_dotfile_images(engine, tmp_path):
+    """test_folder_predictions' reference counterpart filters by name suffix
+    (PM_evaluation.py:691-695): a dotfile named '.jpg' is a valid image."""
+    from PIL import Image as PILImage
+
+    from wadt.workloads.inference import test_folder_predictions
+
+    d = tmp_path / "tree" / "sun"
+    d.mkdir(parents=True)
+    arr = np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8)
+    PILImage.fromarray(arr).save(d / "a.jpg")
+    PILImage.fromarray(arr).save(str(d / ".jpg"), format="JPEG")
+    (d / "b.txt").write_text("junk")
+    test_folder_predictions(engine, str(tmp_path / "tree"),
+                            str(tmp_path / "out"))
+    allp = json.load(open(tmp_path / "out" / "all_predictions.json"))
+    assert sorted(os.path.basename(p) for p in allp) == [".jpg", "a.jpg"]
+
+
 def test_benchmark_mode(synth, engine, tmp_path):
     from wadt.workloads.benchmark import run_benchmark
 

@@ -60,7 +60,7 @@ from compare_with_reference import (  # noqa: E402
     compare,
     compare_scalars,
 )
-from fuzz_benchmark_parity import sample_instance  # noqa: E402
+from fuzz_benchmark_parity import _min_top2_margin, sample_instance  # noqa: E402
 from fuzz_reference_parity import build_torch  # noqa: E402
 
 wadt.config.enable_parity_precision()
@@ -163,21 +163,21 @@ def run_case(family: str, seed: int, base: str):
     auc_unstable = set()
     for ti, t in enumerate(engine.tasks.names):
         p = probs[:, ti, : engine.tasks.num_classes[ti]]
-        s = np.sort(p, axis=1)
-        if float((s[:, -1] - s[:, -2]).min()) < MARGIN:
+        if _min_top2_margin(p) < MARGIN:
             return 0, [f"SKIP model-argmax near-tie in {t!r}"]
-        if float(np.abs(s[:, -1] - prob_threshold).min()) < MARGIN:
+        if float(np.abs(p.max(axis=1) - prob_threshold).min()) < MARGIN:
             return 0, [f"SKIP threshold near-tie in {t!r}"]
         if family == "pmg":
             # AUC is rank-based; random tiny PMG specs cluster probs within
-            # ~1e-4-1e-6 of each other (near-uniform softmax), so per-class
-            # rank order vs torch is noise.  Neutralize the task's AUC fields
-            # rather than skipping the case — loss/acc/P/R/F1/confusion stay.
-            for c in range(p.shape[1]):
-                gaps = np.diff(np.sort(p[:, c]))
-                if np.any((gaps > 0) & (gaps < MARGIN)):
-                    auc_unstable.add(t)
-                    break
+            # ~1e-4-1e-6 of each other (near-uniform softmax), so rank order
+            # vs torch is noise.  Gate on the POOLED (sample, class) values:
+            # per-class AUC ranks within a column, but auc_micro ranks the
+            # flattened pool, so cross-column near-ties flip it too.
+            # Neutralize the task's AUC fields rather than skipping the
+            # case — loss/acc/P/R/F1/confusion stay.
+            gaps = np.diff(np.sort(p.ravel()))
+            if np.any((gaps > 0) & (gaps < MARGIN)):
+                auc_unstable.add(t)
 
     ref_json = run_reference_eval(family, m, synth, tasks,
                                   os.path.join(base, "ref"), prob_threshold)

@@ -7,7 +7,9 @@ patch_size/truncation, every norm flavor (batch/instance/group), head
 options, and task registries with uneven class counts — builds the torch
 reference model (Models/models_{PM,PMG,RTM}.py), pushes its randomly
 initialized state_dict through our checkpoint converter, and diffs logits on
-random inputs.  It probes the spec-arithmetic / layout / padding edge cases
+random inputs.  PMG cases additionally diff the style-transfer LOSS and
+pixel GRADIENT against the reference's own autograd
+(PMG_style_transfer.py:11-59) — the one optimization loop's math.  It probes the spec-arithmetic / layout / padding edge cases
 (channel-doubling loop boundaries, replicate-pad patch grids, stacked-head
 class padding, packed-qkv splits at odd d_model) that fixed fixtures cannot
 cover exhaustively.
@@ -311,6 +313,56 @@ def _gradcam_drift(family, m, spec, params, x_nchw, x_nhwc, tasks) -> float:
     return drift
 
 
+def _style_grad_drift(m, params, spec, seed: int) -> float:
+    """Style-transfer OPTIMIZATION parity (PMG only): the loss value and the
+    pixel gradient of the patch-Gram style loss must match the reference's
+    autograd (utils/PMG/PMG_style_transfer.py:11-59 extract_patch_grams_for_
+    image + patch_gram_style_loss — imported and run, not reimplemented).
+    Gradient drift is scaled to the gradient's own magnitude."""
+    import jax
+    import jax.numpy as jnp
+
+    from compare_with_reference import _stub_missing_modules
+    from wadt.models.pmg import trunk_features
+    from wadt.ops.gram import style_patch_grams
+    from wadt.workloads.style_transfer import extract_style_grams
+
+    _stub_missing_modules()  # PMG_style_transfer imports torchvision
+    from utils.PMG.PMG_style_transfer import (
+        extract_patch_grams_for_image,
+        patch_gram_style_loss,
+    )
+
+    rng = np.random.RandomState(seed + 5)
+    style_nchw = rng.rand(1, 3, 224, 224).astype(np.float32)
+    gen_nchw = rng.rand(1, 3, 224, 224).astype(np.float32)
+
+    style_t = torch.from_numpy(style_nchw)
+    gen_t = torch.from_numpy(gen_nchw).clone().requires_grad_(True)
+    style_grams_t = extract_patch_grams_for_image(m, style_t, detach=True)
+    grams_gen = extract_patch_grams_for_image(m, gen_t, detach=False)
+    loss_t = patch_gram_style_loss(grams_gen, style_grams_t)
+    loss_t.backward()
+    want_grad = gen_t.grad.numpy()[0]  # CHW
+
+    style_j = jnp.asarray(np.transpose(style_nchw, (0, 2, 3, 1)))
+    gen_j = jnp.asarray(np.transpose(gen_nchw, (0, 2, 3, 1)))
+    style_grams_j = extract_style_grams(params, spec, style_j)
+
+    def loss_fn(g):
+        feats = trunk_features(params, g, spec)
+        grams = style_patch_grams(feats, spec.patch_div)
+        return jnp.mean((grams - style_grams_j) ** 2)
+
+    loss_j, grad_j = jax.value_and_grad(loss_fn)(gen_j)
+    got_grad = np.transpose(np.asarray(grad_j[0]), (2, 0, 1))  # HWC -> CHW
+
+    loss_drift = _rel_drift(float(loss_j), float(loss_t.item()))
+    gscale = max(float(np.abs(want_grad).max()), 1e-12)
+    grad_drift = float(np.abs(got_grad - want_grad).max()) / gscale
+    return max(loss_drift, grad_drift)
+
+
 def _trees_equal(a, b) -> bool:
     import jax
 
@@ -351,6 +403,8 @@ def run_case(family: str, hp: dict, tasks: dict, seed: int) -> float:
         got = logits[:, i, : want[task].shape[1]]
         worst = max(worst, _rel_drift(got, want[task]))
     worst = max(worst, _aux_drift(family, m, mod, params, spec, x_nchw, x_nhwc))
+    if family == "pmg":
+        worst = max(worst, _style_grad_drift(m, params, spec, seed))
     cam_drift = _gradcam_drift(family, m, spec, params, x_nchw, x_nhwc, tasks)
     if cam_drift > 5e-3:  # CAMs are per-image min-max normalized to [0,1]
         raise AssertionError(f"gradcam drift {cam_drift:.2e} > 5e-3")

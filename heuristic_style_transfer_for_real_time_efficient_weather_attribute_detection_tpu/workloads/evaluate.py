@@ -17,7 +17,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..config import IGNORE_INDEX
+from ..config import IGNORE_INDEX, UNKNOWN_PRED
 from ..engine.executor import Engine
 from ..utils.metrics import task_metrics_and_roc, write_metrics_summary_csv
 
@@ -196,6 +196,7 @@ def evaluate(
 
     avg_loss = loss_sum / total if total else 0.0
     metrics: Dict[str, Dict] = {}
+    raw_preds: Dict[str, tuple] = {}
     for ti, task in enumerate(tasks.names):
         k = tasks.num_classes[ti]
         preds = np.asarray(all_preds[ti], np.int64)
@@ -209,6 +210,7 @@ def evaluate(
             task, tasks.class_names[ti], preds, labels_arr, probs, roc_dir
         )
         metrics[task] = m
+        raw_preds[task] = (preds, labels_arr, k)
         msg = (
             f"[Task {task}] Acc={m['accuracy']:.4f}, Prec={m['precision']:.4f}, "
             f"Recall={m['recall']:.4f}, F1={m['f1_score']:.4f}"
@@ -247,18 +249,37 @@ def evaluate(
         # schema alongside the unified set: test_metrics.json =
         # {task: {..., "confusion_matrix"}, "average": ...} and
         # times_test.json (Functions/PM_evaluation.py:595-641,
-        # RTM_evaluation.py:449-537).  The average block differs: PM records
-        # accuracy only; RTM records all four means.
-        fam_metrics: Dict[str, Dict] = {
-            t: {
-                k: m[k]
-                for k in (
-                    "accuracy", "precision", "recall", "f1_score",
-                    "confusion_matrix",
-                )
+        # RTM_evaluation.py:449-537).  Differences from the unified (PMG-
+        # semantics) block: their confusion_matrix passes
+        # ``labels=range(k)`` (full k x k even when classes are absent —
+        # PM_evaluation.py:595, RTM_evaluation.py:465), the all-Unknown
+        # case writes a zero k x k matrix not [], and a task with no
+        # samples at all records None for every field.  The average block
+        # differs too: PM records accuracy only; RTM all four means.
+        from sklearn.metrics import confusion_matrix as _sk_confusion
+
+        fam_metrics: Dict[str, Dict] = {}
+        for t, m in metrics.items():
+            preds, labels_arr, k = raw_preds[t]
+            if len(preds) == 0:
+                fam_metrics[t] = {
+                    key: None
+                    for key in ("accuracy", "precision", "recall",
+                                "f1_score", "confusion_matrix")
+                }
+                continue
+            valid = preds != UNKNOWN_PRED
+            conf = (
+                _sk_confusion(labels_arr[valid], preds[valid],
+                              labels=list(range(k))).tolist()
+                if valid.sum() > 0
+                else np.zeros((k, k)).tolist()
+            )
+            fam_metrics[t] = {
+                key: m[key]
+                for key in ("accuracy", "precision", "recall", "f1_score")
             }
-            for t, m in metrics.items()
-        }
+            fam_metrics[t]["confusion_matrix"] = conf
 
         def _mean(key):
             vals = [m[key] for m in fam_metrics.values() if m[key] is not None]

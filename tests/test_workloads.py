@@ -420,6 +420,29 @@ def test_pm_family_artifact_names(synth, tmp_path):
     assert set(rm["average"]) == {"accuracy", "precision", "recall", "f1_score"}
     assert os.path.exists(os.path.join(rsave, "times_test.json"))
 
+    # The family confusion_matrix is the FULL k x k (labels=range(k),
+    # PM_evaluation.py:595 / RTM_evaluation.py:465) even when classes are
+    # absent from the data — unlike the unified (PMG-semantics) artifact,
+    # which lets sklearn infer the present labels (PMG_evaluation.py:201).
+    for task in reng.tasks.names:
+        k = len(tasks[task])
+        assert len(rm[task]["confusion_matrix"]) == k
+        assert all(len(row) == k for row in rm[task]["confusion_matrix"])
+
+    # All-Unknown (prob_threshold=1.1 filters every pred): the family
+    # artifact records a ZERO k x k matrix and 0.0 scalars
+    # (the reference's valid.sum()==0 branch), the unified artifact [].
+    ueng = Engine("rtm", rspec, reng.params, batch_size=4, prob_threshold=1.1)
+    usave = str(tmp_path / "rtm_eval_unknown")
+    evaluate(ueng, BatchLoader(ds, batch_size=4, num_workers=2), usave)
+    um = json.load(open(os.path.join(usave, "test_metrics.json")))
+    uu = json.load(open(os.path.join(usave, "metrics_test.json")))
+    t0 = reng.tasks.names[0]
+    k0 = len(tasks[t0])
+    assert um[t0]["accuracy"] == 0.0
+    assert um[t0]["confusion_matrix"] == [[0.0] * k0 for _ in range(k0)]
+    assert uu["tasks"][t0]["confusion_matrix"] == []
+
 
 def test_render_task_overlay_layout():
     """Auto-layout bar: fits within the height budget, wraps to columns for

@@ -412,7 +412,9 @@ def run_ours_family(family, hparams, synth, weights_pth, out_dir):
         os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
     )
     evaluate(engine, BatchLoader(ds, batch_size=4, num_workers=2), out_dir)
-    return os.path.join(out_dir, "metrics_test.json")
+    # the family-schema artifact (same name/shape as the reference's), for
+    # the full-JSON diff in compare_scalars
+    return os.path.join(out_dir, "test_metrics.json")
 
 
 def run_reference_inference(synth, weights_pth, out_dir, tasks):
@@ -508,20 +510,14 @@ def compare_artifact_names(ref_dir, our_dir):
 
 
 def compare_scalars(ref_json, our_json, atol=1e-6):
-    """PM/RTM pipelines: compare per-task acc/P/R/F1 (their test_metrics.json
-    schema vs our metrics_test.json)."""
-    ref = json.load(open(ref_json))
-    ours = json.load(open(our_json))["tasks"]
+    """PM/RTM pipelines: FULL test_metrics.json diff — per-task
+    acc/P/R/F1 + confusion_matrix + the family's 'average' block (PM:
+    accuracy only, PM_evaluation.py:621; RTM: all four means,
+    RTM_evaluation.py:499-509).  Our evaluate() emits the same family
+    artifact alongside the unified metrics_test.json."""
     fails = []
-    for task, rm in ref.items():
-        if task == "average":
-            continue
-        om = ours[task]
-        for key in ("accuracy", "precision", "recall", "f1_score"):
-            if rm[key] is None:
-                continue
-            if abs(float(rm[key]) - float(om[key])) > atol:
-                fails.append((f"{task}/{key}", rm[key], om[key]))
+    _diff_json(json.load(open(ref_json)), json.load(open(our_json)),
+               "test_metrics.json", fails, atol)
     return fails
 
 

@@ -183,7 +183,11 @@ def run_case(family: str, seed: int, base: str):
                                   os.path.join(base, "ref"), prob_threshold)
     our_dir = os.path.join(base, "ours")
     evaluate(engine, BatchLoader(ds, batch_size=4, num_workers=1), our_dir)
-    our_json = os.path.join(our_dir, "metrics_test.json")
+    # pmg: unified full-schema artifact; pm/rtm: the family-schema
+    # test_metrics.json, diffed in FULL (incl. confusion + average block)
+    our_json = os.path.join(
+        our_dir, "metrics_test.json" if family == "pmg" else "test_metrics.json"
+    )
 
     notes = [f"thr={prob_threshold}"]
     if auc_unstable:

@@ -496,6 +496,48 @@ def compare_json_files(ref_path, our_path, atol=1e-6):
     return fails
 
 
+def compare_roc_csvs(ref_dir, our_dir, atol=1e-9):
+    """Numeric diff of every <task>_roc_data.csv the PMG reference wrote
+    (PMG_evaluation.py:212-216 schema: curve_type, class_name, fpr, tpr) —
+    the full ROC curve points, not just the AUC scalars."""
+    import csv
+
+    fails = []
+    for root, _, files in os.walk(ref_dir):
+        for fn in files:
+            if not fn.endswith("_roc_data.csv"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), ref_dir)
+            ours_path = os.path.join(our_dir, rel)
+            if not os.path.exists(ours_path):
+                fails.append((f"roc_csv:{rel}", "present", "MISSING"))
+                continue
+            with open(os.path.join(root, fn)) as fa, open(ours_path) as fb:
+                ra, rb = list(csv.reader(fa)), list(csv.reader(fb))
+            if len(ra) != len(rb):
+                fails.append((f"roc_csv:{rel}/rows", len(ra), len(rb)))
+                continue
+            for i, (xa, xb) in enumerate(zip(ra, rb)):
+                same = len(xa) == len(xb) and all(
+                    a == b
+                    or (_is_float(a) and _is_float(b)
+                        and abs(float(a) - float(b)) <= atol)
+                    for a, b in zip(xa, xb)
+                )
+                if not same:
+                    fails.append((f"roc_csv:{rel}:row{i}", xa, xb))
+                    break
+    return fails
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 def compare_artifact_names(ref_dir, our_dir):
     """Filename parity: every artifact the reference pipeline wrote must
     exist (same relative path) in our output tree (we may write extras).
@@ -565,6 +607,11 @@ def main():
         all_fails += [(f"pmg/artifact:{f}", "present", "MISSING") for f in missing]
         print(f"[pmg] artifact filename diff: {len(missing)} reference-only files")
         print(f"[pmg] full metrics_test.json diff: {len(fails)} failures")
+        roc_fails = compare_roc_csvs(
+            os.path.join(base, "pmg_ref"), os.path.join(base, "pmg_ours")
+        )
+        all_fails += [("pmg/" + n, a, b) for n, a, b in roc_fails]
+        print(f"[pmg] ROC curve CSV diff: {len(roc_fails)} failures")
 
         # Benchmark mode (the north star): same weights, same folder, same
         # mapping — diff benchmark_summary.json + best_mapping.json under
@@ -680,8 +727,10 @@ def main():
         sys.exit(1)
     print("PARITY OK across families "
           f"{families}: PMG full metrics_test.json identical (loss, per-task "
-          "acc/P/R/F1, confusion, macro/micro/per-class AUC); PM and RTM "
-          "per-task acc/P/R/F1 identical vs their reference pipelines; "
+          "acc/P/R/F1, confusion, macro/micro/per-class AUC) plus every ROC "
+          "curve CSV (fpr/tpr points); PM and RTM test_metrics.json "
+          "identical in full (per-task acc/P/R/F1, full-k x k confusion, "
+          "average block) vs their reference pipelines; "
           "benchmark mode benchmark_summary.json + best_mapping.json "
           "identical under JSON mapping AND auto-mapping; folder-inference "
           "inference_results.json and folder-predictions "

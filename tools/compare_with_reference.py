@@ -530,6 +530,30 @@ def compare_roc_csvs(ref_dir, our_dir, atol=1e-9):
     return fails
 
 
+def compare_summary_csv(ref_csv, our_csv, atol=1e-9):
+    """metrics_test_summary.csv content diff (PMG_evaluation.py:320-333
+    schema: task + 6 metric columns + roc_png).  The roc_png column holds an
+    absolute path under each run's own output dir — excluded, everything
+    else numeric-or-exact."""
+    import csv
+
+    fails = []
+    with open(ref_csv) as fa, open(our_csv) as fb:
+        ra, rb = list(csv.reader(fa)), list(csv.reader(fb))
+    if len(ra) != len(rb):
+        return [("summary_csv/rows", len(ra), len(rb))]
+    path_cols = {i for i, name in enumerate(ra[0]) if name == "roc_png"}
+    for i, (xa, xb) in enumerate(zip(ra, rb)):
+        for j, (a, b) in enumerate(zip(xa, xb)):
+            if j in path_cols:
+                continue
+            ok = a == b or (_is_float(a) and _is_float(b)
+                            and abs(float(a) - float(b)) <= atol)
+            if not ok:
+                fails.append((f"summary_csv:row{i}col{j}", a, b))
+    return fails
+
+
 def _is_float(s: str) -> bool:
     try:
         float(s)
@@ -612,6 +636,12 @@ def main():
         )
         all_fails += [("pmg/" + n, a, b) for n, a, b in roc_fails]
         print(f"[pmg] ROC curve CSV diff: {len(roc_fails)} failures")
+        csv_fails = compare_summary_csv(
+            os.path.join(base, "pmg_ref", "metrics_test_summary.csv"),
+            os.path.join(base, "pmg_ours", "metrics_test_summary.csv"),
+        )
+        all_fails += [("pmg/" + n, a, b) for n, a, b in csv_fails]
+        print(f"[pmg] summary CSV diff: {len(csv_fails)} failures")
 
         # Benchmark mode (the north star): same weights, same folder, same
         # mapping — diff benchmark_summary.json + best_mapping.json under

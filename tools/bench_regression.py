@@ -5,11 +5,14 @@ Re-measures every throughput config in ``results/bench_floor.json`` with
 bench.py's chained device-loop protocol, plus every per-frame streaming
 floor (``stream_floor_us``: the auto-selected StreamPredictor step, timed
 from on-device trace timestamps), and exits non-zero when any lands more
-than the recorded tolerance past its floor.  Skips cleanly (exit 0) when no
-TPU is attached — the floors are single-v5e-chip numbers and CPU runs would
-always "regress".
+than the recorded tolerance past its floor.  ``--train`` additionally gates
+the train-step throughput records in ``results/bench_train.json`` (opt-in:
+fwd+bwd compiles per family x dtype make it several minutes slower).  Skips
+cleanly (exit 0) when no TPU is attached — the floors are single-v5e-chip
+numbers and CPU runs would always "regress".
 
     python tools/bench_regression.py             # gate
+    python tools/bench_regression.py --train     # + train-step floors
     python tools/bench_regression.py --update    # rewrite floors from a fresh run
     python tools/bench_regression.py --only rtm_bf16
 """
@@ -57,7 +60,12 @@ def main() -> int:
     ap.add_argument("--update", action="store_true",
                     help="rewrite floors from this run's measurements")
     ap.add_argument("--only", default=None,
-                    help="gate a single config, e.g. rtm_bf16")
+                    help="gate a single config, e.g. rtm_bf16 / rtm_stream "
+                         "/ rtm_bf16_train")
+    ap.add_argument("--train", action="store_true",
+                    help="also gate train-step throughput against "
+                         "results/bench_train.json (slower: fwd+bwd compiles "
+                         "per family x dtype)")
     args = ap.parse_args()
 
     import jax
@@ -115,7 +123,39 @@ def main() -> int:
         if ratio > 1.0 + tol:
             failures.append(f"{family}_stream")
 
+    train_measured = {}
+    if args.train:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_train import measure as measure_train
+
+        train_path = os.path.join(REPO, "results", "bench_train.json")
+        with open(train_path) as f:
+            train_spec = json.load(f)
+        for cfg, rec in train_spec.items():
+            if args.only and args.only != f"{cfg}_train":
+                continue
+            family = cfg.replace("_bf16", "")
+            ips = measure_train(family, int(rec["batch"]),
+                                bf16=cfg.endswith("_bf16"))
+            train_measured[cfg] = round(ips, 1)
+            floor = float(rec["train_images_per_sec"])
+            ratio = ips / floor
+            verdict = "OK" if ratio >= 1.0 - tol else "REGRESSION"
+            print(f"[bench_regression] {cfg + '_train':14s}: {ips:10,.0f} "
+                  f"img/s  floor {floor:10,.0f}  ({ratio:6.1%}) {verdict}")
+            if ratio < 1.0 - tol:
+                failures.append(f"{cfg}_train")
+
     if args.update:
+        if train_measured:
+            train_path = os.path.join(REPO, "results", "bench_train.json")
+            with open(train_path) as f:
+                train_spec = json.load(f)
+            for cfg, ips in train_measured.items():
+                train_spec[cfg]["train_images_per_sec"] = ips
+            with open(train_path, "w") as f:
+                json.dump(train_spec, f, indent=2)
+            print(f"[bench_regression] train floors updated -> {train_path}")
         spec["floors"].update(measured)
         spec.setdefault("stream_floor_us", {}).update(stream_measured)
         with open(FLOOR_PATH, "w") as f:

@@ -124,11 +124,14 @@ def main() -> int:
             failures.append(f"{family}_stream")
 
     train_measured = {}
-    if args.train:
+    train_path = os.path.join(REPO, "results", "bench_train.json")
+    train_spec = None
+    # --only <cfg>_train implies the train leg; without this, an --only
+    # value matching nothing would "pass" while measuring nothing.
+    if args.train or (args.only and args.only.endswith("_train")):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from bench_train import measure as measure_train
 
-        train_path = os.path.join(REPO, "results", "bench_train.json")
         with open(train_path) as f:
             train_spec = json.load(f)
         for cfg, rec in train_spec.items():
@@ -146,11 +149,13 @@ def main() -> int:
             if ratio < 1.0 - tol:
                 failures.append(f"{cfg}_train")
 
+    if args.only and not (measured or stream_measured or train_measured):
+        print(f"[bench_regression] ERROR: --only {args.only!r} matched no "
+              "config (nothing was measured)")
+        return 1
+
     if args.update:
         if train_measured:
-            train_path = os.path.join(REPO, "results", "bench_train.json")
-            with open(train_path) as f:
-                train_spec = json.load(f)
             for cfg, ips in train_measured.items():
                 train_spec[cfg]["train_images_per_sec"] = ips
             with open(train_path, "w") as f:

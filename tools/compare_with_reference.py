@@ -538,12 +538,17 @@ def compare_summary_csv(ref_csv, our_csv, atol=1e-9):
     import csv
 
     fails = []
+    if not os.path.exists(our_csv):
+        return [("summary_csv", "present", "MISSING")]
     with open(ref_csv) as fa, open(our_csv) as fb:
         ra, rb = list(csv.reader(fa)), list(csv.reader(fb))
     if len(ra) != len(rb):
         return [("summary_csv/rows", len(ra), len(rb))]
     path_cols = {i for i, name in enumerate(ra[0]) if name == "roc_png"}
     for i, (xa, xb) in enumerate(zip(ra, rb)):
+        if len(xa) != len(xb):
+            fails.append((f"summary_csv:row{i}/cols", len(xa), len(xb)))
+            continue
         for j, (a, b) in enumerate(zip(xa, xb)):
             if j in path_cols:
                 continue

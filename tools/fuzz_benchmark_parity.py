@@ -408,12 +408,14 @@ def main():
     ap.add_argument("--n", type=int, default=6, help="cases per family")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--families", default="pmg,pm,rtm")
+    ap.add_argument("--record", action="store_true",
+                    help="append a pass record to results/fuzz_parity.json")
     args = ap.parse_args()
 
     sys.path.insert(0, os.environ.get("REFERENCE_DIR", "/root/reference"))
     _stub_missing_modules()
 
-    total_fails = 0
+    total_fails = cases = skips = ties = 0
     for family in args.families.split(","):
         family = family.strip()
         for i in range(args.n):
@@ -427,8 +429,18 @@ def main():
             print(f"[{family} #{i}] {status}", flush=True)
             for note in notes:
                 print(f"    {note}", flush=True)
+            cases += 1
+            skips += sum(1 for x in notes if x.startswith("SKIP"))
+            ties += sum(1 for x in notes if x.startswith("TIE"))
             total_fails += n_fails
 
+    if args.record:
+        from fuzz_record import record
+
+        path = record("benchmark", seed=args.seed, n=args.n,
+                      families=args.families, cases=cases, skips=skips,
+                      ties=ties, failed=total_fails)
+        print(f"recorded -> {path}")
     if total_fails:
         print(f"BENCHMARK FUZZ PARITY FAILED: {total_fails} divergence(s)")
         return 1

@@ -416,10 +416,12 @@ def main():
     ap.add_argument("--n", type=int, default=6, help="draws per family")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--families", default="pmg,pm,rtm")
+    ap.add_argument("--record", action="store_true",
+                    help="append a pass record to results/fuzz_parity.json")
     args = ap.parse_args()
 
     samplers = {"pmg": sample_pmg, "pm": sample_pm, "rtm": sample_rtm}
-    failures = []
+    failures, cases = [], 0
     for family in args.families.split(","):
         family = family.strip()
         for i in range(args.n):
@@ -433,9 +435,17 @@ def main():
                 drift, status = float("nan"), f"ERROR {type(e).__name__}: {e}"
             print(f"[{family} #{i}] drift={drift:.2e} {status}  hp={hp} "
                   f"tasks={ {t: len(c) for t, c in tasks.items()} }", flush=True)
+            cases += 1
             if status != "ok":
                 failures.append((family, i, hp, status))
 
+    if args.record:
+        from fuzz_record import record
+
+        path = record("arch", seed=args.seed, n=args.n,
+                      families=args.families, cases=cases, skips=0, ties=0,
+                      failed=len(failures))
+        print(f"recorded -> {path}")
     if failures:
         print(f"FUZZ PARITY FAILED: {len(failures)} case(s)")
         return 1

@@ -22,8 +22,10 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+import numpy as np
 from PIL import Image
 
+from ..config import DEFAULT_IMG_SIZE
 from ..engine.executor import Engine
 from ..engine.serving import AsyncBatcher, Overloaded
 from ..ops.preprocess import load_image_uint8
@@ -162,13 +164,28 @@ class InferenceServer:
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
-    def start(self):
+    def warmup(self) -> None:
+        """One dummy frame through the full batcher->chip path, so the
+        serving batch shape is compiled before traffic arrives.  A cold XLA
+        compile can exceed ``result_timeout_s`` and 504 the first client
+        (observed: first compile 20-40s on this rig vs the 60s default)."""
+        dummy = np.zeros((DEFAULT_IMG_SIZE, DEFAULT_IMG_SIZE, 3), np.uint8)
+        self.batcher.predict(dummy, timeout=None)
+        # the warmup's compile time is not serving latency — keep it out
+        # of the percentile telemetry
+        self.batcher.latencies.clear()
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            self.warmup()
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
 
-    def serve_forever(self):
+    def serve_forever(self, warmup: bool = True):
         print(f"serving on :{self.port} (POST /predict, GET /healthz, /stats)")
+        if warmup:
+            self.warmup()
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:

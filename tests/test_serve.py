@@ -202,3 +202,23 @@ def test_exported_dispatch_rejects_labels(exported_server):
             np.zeros((2, 224, 224, 3), np.uint8),
             labels=np.zeros((2, 2), np.int32),
         )
+
+
+def test_warmup_compiles_before_traffic_and_skips_telemetry():
+    """start(warmup=True) (the default) pushes one dummy frame through the
+    full batcher->engine path before accepting traffic — a cold compile can
+    exceed result_timeout_s and 504 the first client — and keeps the
+    warmup's compile time out of the latency percentiles."""
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(3), spec)
+    engine = Engine("pmg", spec, params, batch_size=4)
+    srv = InferenceServer(engine, host="127.0.0.1", port=0)
+    try:
+        srv.start()  # blocks until the warmup batch completed
+        assert srv.batcher.latency_percentiles() == {}  # telemetry clean
+        status, stats = _get(srv, "/stats")
+        assert status == 200 and stats.get("n", 0) == 0
+    finally:
+        srv.stop()

@@ -222,3 +222,43 @@ def test_warmup_compiles_before_traffic_and_skips_telemetry():
         assert status == 200 and stats.get("n", 0) == 0
     finally:
         srv.stop()
+
+
+def test_stalled_dispatch_504_then_recovers():
+    """A wedged device dispatch (this rig's relay failure mode) must map to
+    504 for the waiting client WITHOUT killing the server: once the stall
+    clears, the dispatcher drains and subsequent requests succeed."""
+    import threading
+
+    import jax
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(5), spec)
+    engine = Engine("pmg", spec, params, batch_size=4)
+    srv = InferenceServer(engine, host="127.0.0.1", port=0,
+                          prob_threshold=0.0, result_timeout_s=1.0)
+    try:
+        srv.start()  # warmup completes before we inject the stall
+        release = threading.Event()
+        orig = engine.dispatch
+        stalled = []
+
+        def wedged(*a, **k):
+            if not stalled:  # only the first post-warmup dispatch stalls
+                stalled.append(True)
+                assert release.wait(timeout=30), "test stall never released"
+            return orig(*a, **k)
+
+        engine.dispatch = wedged
+        req = urllib.request.Request(
+            _url(srv, "/predict"), data=_jpeg_bytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 504
+
+        release.set()  # stall clears -> the dispatcher must drain
+        status, out = _post_image(srv, _jpeg_bytes())
+        assert status == 200 and set(out["prediction"]) == {"A", "B"}
+    finally:
+        release.set()
+        srv.stop()

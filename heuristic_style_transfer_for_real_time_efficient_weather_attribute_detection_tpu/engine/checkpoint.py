@@ -583,7 +583,20 @@ def convert(
     """
     family = family.lower()
     if strict:
-        return _CONVERTERS[family](state, spec)
+        try:
+            return _CONVERTERS[family](state, spec)
+        except KeyError as e:
+            guessed = sniff_family(state)
+            if guessed and guessed != family:
+                # a bare KeyError deep in a converter ('conv1.weight') is
+                # unhelpful when the real mistake is the family flag
+                raise ValueError(
+                    f"checkpoint does not look like a {family.upper()} "
+                    f"checkpoint (missing key {e.args[0]!r}); its key "
+                    f"schema matches {guessed.upper()} — rerun with the "
+                    f"'{guessed}' family"
+                ) from e
+            raise
     import jax
 
     from ..models import get_family
@@ -619,6 +632,26 @@ def convert(
     return _CONVERTERS[family](merged, spec)
 
 
+def sniff_family(state: Dict[str, Any]) -> Optional[str]:
+    """Best-effort family guess from checkpoint key roots: PMG checkpoints
+    carry ``feature_extractor.*`` (models_PMG.py:77), PM ``trunk.*`` +
+    ``task_heads.*`` (models_PM.py:79), RTM ``truncated_encoder.`` /
+    ``backbone.`` / bare torchvision roots (RTM_evaluation.py:545-620
+    accepted schemas).  ``module.`` DataParallel prefixes are stripped."""
+    roots = set()
+    for k in state:
+        if k.startswith("module."):
+            k = k[len("module."):]
+        roots.add(k.split(".", 1)[0])
+    if "feature_extractor" in roots:
+        return "pmg"
+    if {"truncated_encoder", "backbone", "conv1", "layer1"} & roots:
+        return "rtm"
+    if {"trunk", "task_heads"} & roots:
+        return "pm"
+    return None
+
+
 def load_torch_checkpoint(
     family: str, path: str, spec, strict: bool = True
 ) -> Dict[str, Any]:
@@ -626,6 +659,8 @@ def load_torch_checkpoint(
     try:
         return convert(family, state, spec, strict=True)
     except KeyError:
+        # a wrong-family schema raises ValueError from convert() instead
+        # (sniff_family) and deliberately does NOT fall back to non-strict
         if strict:
             raise
         print("[WARN] strict conversion failed, falling back to strict=False")

@@ -128,3 +128,25 @@ def test_fuzz_record_appends_and_caps(tmp_path, monkeypatch):
     assert len(doc["toolx"]) == fuzz_record._KEEP
     assert doc["toolx"][-1]["seed"] == 14
     assert doc["toolx"][-1]["status"] == "pass"
+
+
+def test_wrong_family_checkpoint_names_the_right_one(tmp_path):
+    """Loading a checkpoint with the wrong --family must say which family
+    the key schema actually matches, not raise a bare KeyError."""
+    import jax
+
+    from wadt.engine import checkpoint
+    from wadt.models import pmg, rtm
+
+    spec = pmg.build_spec({"A": ["a", "b"]},
+                          dict(ndf=8, patch_size=64, patch_div=2,
+                               gram_channels=16, d_model=32,
+                               transformer_layers=0))
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    pth = str(tmp_path / "w.pth")
+    checkpoint.save_torch_checkpoint("pmg", params, spec, pth)
+    assert checkpoint.sniff_family(checkpoint.load_state_dict(pth)) == "pmg"
+    rspec = rtm.build_spec({"A": ["a", "b"]},
+                           dict(truncate_layer=5, use_attention=False))
+    with pytest.raises(ValueError, match="matches PMG"):
+        checkpoint.load_torch_checkpoint("rtm", pth, rspec)

@@ -287,6 +287,14 @@ def run_benchmark(
     tasks_json = tasks.as_dict()
     with open(mapping_path, "r") as f:
         initial_mapping = json.load(f)
+    unknown = [t for t in initial_mapping if t not in tasks_json]
+    if unknown:
+        # the reference dies later with a bare KeyError (tasks_json[task],
+        # benchmark_utils.py:79) — name the mistake up front instead
+        raise ValueError(
+            f"benchmark mapping names task(s) not in the model's registry: "
+            f"{unknown}; available tasks: {list(tasks_json)}"
+        )
     bench_classes = {t: list(initial_mapping[t].keys()) for t in initial_mapping}
 
     images = walk_benchmark_folder(benchmark_folder, bench_classes)

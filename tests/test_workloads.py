@@ -561,3 +561,16 @@ def test_hdbscan_clustering_grid_and_tiny_class():
     assert res1["n_clusters"] == 0 and res1["clusters"] == {"-1": paths[:1]}
     res0 = hdbscan_clustering(tiny[:0], [])
     assert res0["n_clusters"] == 0 and res0["clusters"] == {}
+
+
+def test_benchmark_unknown_mapping_task_is_named(synth, engine, tmp_path):
+    """A mapping JSON naming a task outside the model registry fails up
+    front with the task named (the reference dies later with a bare
+    KeyError, benchmark_utils.py:79)."""
+    from wadt.workloads.benchmark import run_benchmark
+
+    bad = tmp_path / "bad_mapping.json"
+    bad.write_text(json.dumps({"No Such Task": {"sun": ["Clear"]}}))
+    with pytest.raises(ValueError, match="No Such Task"):
+        run_benchmark(engine, os.path.join(synth, "images"), str(bad),
+                      str(tmp_path / "o"), str(tmp_path / "o/roc"))

@@ -421,6 +421,7 @@ class WatchFolderService:
         truth_mapping_path: Optional[str] = None,
         annotations_folder: Optional[str] = None,
         metrics_every: int = 10,
+        max_load_retries: int = 5,
     ):
         if len(watch_folders) != len(poll_intervals):
             raise ValueError("watch_folders and poll_intervals must have equal length")
@@ -431,6 +432,7 @@ class WatchFolderService:
         self.save_dir_to_canon = save_dir_to_canon
         self.annotations_folder = annotations_folder
         self.metrics_every = metrics_every
+        self.max_load_retries = max_load_retries
         self.truth_rules = None
         if truth_mapping_path:
             with open(truth_mapping_path, "r") as f:
@@ -481,8 +483,22 @@ class WatchFolderService:
             ann = json.load(f)
         return {sv["name"]: sv.get("value") for sv in ann.get("sensorValues", [])}
 
+    @staticmethod
+    def _append_csv_row(path: str, cols: List[str], row: Dict) -> None:
+        """Append one row, writing the header iff the file is new.  Stdlib csv
+        (NOT pandas): watcher threads run concurrently and pandas' lazy
+        arrow-string init segfaults under concurrent first use; append-only
+        also makes CSV resume O(1) instead of rewrite-the-file-per-frame."""
+        import csv
+
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=cols)
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
     def _watch_one(self, folder: str, sub_save_dir: str, interval: float, is_first: bool):
-        import pandas as pd
         from sklearn.metrics import f1_score, precision_score, recall_score
 
         tasks = self.engine.tasks
@@ -491,11 +507,6 @@ class WatchFolderService:
         cols = ["timestamp", "image"]
         for t in tasks.names:
             cols += [f"{t}_predicted_class", f"{t}_probability"]
-        history_df = (
-            pd.read_csv(history_file)
-            if os.path.exists(history_file)
-            else pd.DataFrame(columns=cols)
-        )
 
         eval_on = self.truth_rules is not None
         y_true = {t: [] for t in tasks.names}
@@ -507,26 +518,43 @@ class WatchFolderService:
         for t in tasks.names:
             metric_cols += [f"{t}_precision", f"{t}_recall", f"{t}_f1"]
         metric_cols.append("global_f1")
-        perf_hist_df = (
-            pd.read_csv(perf_hist_file)
-            if os.path.exists(perf_hist_file)
-            else pd.DataFrame(columns=metric_cols)
-        )
 
         last_processed = None
+        pending_file, pending_tries = None, 0
         while not self._stop.is_set():
             last_file = self._latest_valid(folder)
             if last_file is None or last_file == last_processed:
                 self._stop.wait(interval)
                 continue
-            last_processed = last_file
             full_path = os.path.join(folder, last_file)
             try:
                 img = load_image_uint8(full_path)
-            except Exception as e:  # unreadable image: log and keep serving
-                print(f"[{folder}] error loading {full_path}: {e}")
+            except Exception as e:
+                # A frame caught mid-write (camera/home-automation writers save
+                # in place) must be RETRIED, not dropped: only mark it processed
+                # after a bounded number of failures so a truly corrupt file
+                # can't wedge the folder.  (Improves on the reference, which
+                # would crash the loop: Functions/RTM_evaluation.py:934-939.)
+                if last_file == pending_file:
+                    pending_tries += 1
+                else:
+                    pending_file, pending_tries = last_file, 1
+                if pending_tries >= self.max_load_retries:
+                    print(
+                        f"[{folder}] giving up on {full_path} after "
+                        f"{pending_tries} attempts: {e}"
+                    )
+                    last_processed = last_file
+                    pending_file, pending_tries = None, 0
+                else:
+                    print(
+                        f"[{folder}] error loading {full_path} (attempt "
+                        f"{pending_tries}/{self.max_load_retries}, will retry): {e}"
+                    )
                 self._stop.wait(interval)
                 continue
+            pending_file, pending_tries = None, 0
+            last_processed = last_file
 
             probs = self.engine.run(img[None], collect=("probs",))["probs"][0]
             prediction = _pred_entry(self.engine, probs)
@@ -551,8 +579,7 @@ class WatchFolderService:
             for t, pred in prediction.items():
                 row[f"{t}_predicted_class"] = pred["predicted_class"]
                 row[f"{t}_probability"] = pred["probability"]
-            history_df = pd.concat([history_df, pd.DataFrame([row])], ignore_index=True)
-            history_df.to_csv(history_file, index=False)
+            self._append_csv_row(history_file, cols, row)
 
             if eval_on:
                 sensors = self._sensors_for(last_file)
@@ -575,10 +602,7 @@ class WatchFolderService:
                         )
                         with open(perf_file, "w") as pf:
                             json.dump(perf, pf, indent=2)
-                        perf_hist_df.loc[len(perf_hist_df)] = [
-                            perf[c] for c in metric_cols
-                        ]
-                        perf_hist_df.to_csv(perf_hist_file, index=False)
+                        self._append_csv_row(perf_hist_file, metric_cols, perf)
 
             self._stop.wait(interval)
 

@@ -255,6 +255,14 @@ def test_auto_map_matches_exhaustive():
         assert score >= best - 1e-9, (trial, score, best)
 
 
+def _atomic_save(img, dest):
+    """Write-temp-then-rename so the watcher never sees a half-written frame
+    (temp name has no timestamp stem, so _latest_valid ignores it)."""
+    tmp = dest.parent / (".tmp_" + dest.name)
+    img.save(tmp, format="JPEG")
+    os.replace(tmp, dest)
+
+
 def test_watch_folder_service(synth, engine, tmp_path):
     from wadt.workloads.inference import WatchFolderService
 
@@ -269,7 +277,7 @@ def test_watch_folder_service(synth, engine, tmp_path):
     img = Image.fromarray(
         np.random.RandomState(0).randint(0, 256, (64, 64, 3), np.uint8)
     )
-    img.save(watch / "2026-08-16_12-00-00.jpg")
+    _atomic_save(img, watch / "2026-08-16_12-00-00.jpg")
     sub = save / "watch"
     deadline = time.time() + 20
     while time.time() < deadline and not (sub / "last_prediction.json").exists():
@@ -336,8 +344,8 @@ def test_watch_folder_sensor_metrics(synth, engine, tmp_path):
         name = f"2026-08-16_12-00-0{i}"
         json.dump({"sensorValues": [{"name": "rain_mm", "value": float(i)}]},
                   open(ann / f"{name}.json", "w"))
-        Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
-            watch / f"{name}.jpg")
+        _atomic_save(Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)),
+                     watch / f"{name}.jpg")
         deadline = time.time() + 20
         while time.time() < deadline:
             if (sub / "last_prediction.json").exists() and json.load(
@@ -351,6 +359,71 @@ def test_watch_folder_sensor_metrics(synth, engine, tmp_path):
     perf = json.load(open(sub / "performance.json"))
     assert "global_f1" in perf and "Weather Type_f1" in perf
     assert (sub / "performance_history.csv").exists()
+
+
+def test_watch_folder_retries_half_written_frame(synth, engine, tmp_path):
+    """A frame caught mid-write must be retried on later polls, not dropped
+    forever (round-3 regression: last_processed was set before the load)."""
+    import io
+
+    from PIL import Image
+
+    from wadt.workloads.inference import WatchFolderService
+
+    watch = tmp_path / "w3"
+    watch.mkdir()
+    svc = WatchFolderService(engine, [str(watch)], [0.1], str(tmp_path / "o3"),
+                             max_load_retries=50)
+    # Simulate a slow in-place writer: first the truncated prefix, then
+    # (after the watcher has certainly seen and failed on it) the full file.
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.RandomState(1).randint(0, 256, (64, 64, 3), np.uint8)
+    ).save(buf, format="JPEG")
+    data = buf.getvalue()
+    frame = watch / "2026-08-16_13-00-00.jpg"
+    frame.write_bytes(data[: len(data) // 2])
+    svc.start(block=False)
+    time.sleep(1.0)  # several polls fail on the truncated file
+    sub = tmp_path / "o3" / "w3"
+    assert not (sub / "last_prediction.json").exists()
+    frame.write_bytes(data)  # writer finishes
+    deadline = time.time() + 20
+    while time.time() < deadline and not (sub / "last_prediction.json").exists():
+        time.sleep(0.1)
+    svc.stop()
+    assert (sub / "last_prediction.json").exists()
+    j = json.load(open(sub / "last_prediction.json"))
+    assert j["image"] == frame.name
+
+
+def test_watch_folder_gives_up_on_corrupt_frame(synth, engine, tmp_path):
+    """A truly corrupt file must not wedge the folder: after max_load_retries
+    it is marked dead and a newer frame is still served."""
+    from PIL import Image
+
+    from wadt.workloads.inference import WatchFolderService
+
+    watch = tmp_path / "w4"
+    watch.mkdir()
+    svc = WatchFolderService(engine, [str(watch)], [0.05], str(tmp_path / "o4"),
+                             max_load_retries=3)
+    (watch / "2026-08-16_14-00-00.jpg").write_bytes(b"never a valid jpeg")
+    svc.start(block=False)
+    time.sleep(0.8)  # exceed the retry budget on the corrupt frame
+    _atomic_save(
+        Image.fromarray(
+            np.random.RandomState(2).randint(0, 256, (64, 64, 3), np.uint8)
+        ),
+        watch / "2026-08-16_14-00-01.jpg",
+    )
+    sub = tmp_path / "o4" / "w4"
+    deadline = time.time() + 20
+    while time.time() < deadline and not (sub / "last_prediction.json").exists():
+        time.sleep(0.1)
+    svc.stop()
+    assert (sub / "last_prediction.json").exists()
+    assert json.load(open(sub / "last_prediction.json"))["image"] == "2026-08-16_14-00-01.jpg"
 
 
 def test_folder_predictions_skips_corrupt_image(synth, engine, tmp_path):

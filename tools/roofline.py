@@ -136,6 +136,84 @@ def measure_config(family, dtype_name, batch):
     }
 
 
+def measure_train_config(family, dtype_name, batch):
+    """Roofline row for the FULL jitted train step (fwd + bwd + AdamW + BN
+    stat merge + dropout) — bound attribution for the bench_train.json
+    numbers (round-3 verdict: the one headline family still at prose grade)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from wadt.config import IGNORE_INDEX
+    from wadt.parallel.train import make_train_step
+    from wadt.utils.devtime import device_time_ms
+
+    _, spec, _ = bench.build(family)
+    cdt = jnp.bfloat16 if dtype_name == "bf16" else None
+    init_fn, step_fn = make_train_step(family, spec, compute_dtype=cdt)
+    state = init_fn(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    nt = len(spec.tasks)
+    images = jnp.asarray(rng.randn(batch, 224, 224, 3), jnp.float32)
+    labels_np = rng.randint(0, 2, (batch, nt)).astype(np.int32)
+    labels_np[rng.rand(batch, nt) < 0.2] = IGNORE_INDEX
+    labels = jnp.asarray(labels_np)
+
+    jitted = jax.jit(step_fn)
+    compiled = jitted.lower(state, images, labels).compile()
+    ca = _cost_analysis(compiled)
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    # fresh-state call each iteration would retrace; same args are fine
+    # (make_train_step does not donate)
+    try:
+        t_ms, top = device_time_ms(jitted, state, images, labels, iters=10)
+        timing = "trace"
+    except (RuntimeError, StopIteration):
+        # same CPU-only wall-clock fallback as measure_config: a TPU trace
+        # failure must NOT silently record optimistic dispatch-loop numbers
+        if jax.devices()[0].platform.lower() != "cpu":
+            raise
+        import time
+
+        jax.block_until_ready(jitted(state, images, labels))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = jitted(state, images, labels)
+        jax.block_until_ready(r)
+        t_ms, top, timing = (time.perf_counter() - t0) / 3 * 1e3, [], "wall"
+    t_s = t_ms / 1e3
+    achieved_tflops = flops / t_s / 1e12 if t_s else 0.0
+    achieved_gbps = bytes_acc / t_s / 1e9 if t_s else 0.0
+    flops_util = achieved_tflops / PEAKS["mxu_tflops_bf16"]
+    hbm_util = achieved_gbps / PEAKS["hbm_gbps"]
+    if hbm_util > 1.0:
+        bound = "onchip-resident/overhead (bytes estimate > HBM peak)"
+    elif hbm_util >= max(0.5, flops_util):
+        bound = "hbm"
+    elif flops_util >= 0.5:
+        bound = "mxu"
+    else:
+        bound = "overhead/latency"
+    return {
+        "batch": batch,
+        "step": "train (fwd+bwd+AdamW+BN merge)",
+        "timing": timing,
+        "device_ms": round(t_ms, 4),
+        "images_per_sec": round(batch / t_s, 1),
+        "xla_flops": flops,
+        "xla_bytes_accessed": bytes_acc,
+        "achieved_tflops": round(achieved_tflops, 2),
+        "achieved_hbm_gbps": round(achieved_gbps, 1),
+        "mxu_utilization": round(flops_util, 4),
+        "hbm_utilization": round(hbm_util, 4),
+        "bound": bound,
+        "top_ops_us": [[round(ms * 1e3, 1), name] for ms, name in top[:6]],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="pmg,pm,rtm")
@@ -143,6 +221,10 @@ def main():
     ap.add_argument("--batch1", action="store_true", default=True,
                     help="also measure batch=1 (default on)")
     ap.add_argument("--no-batch1", dest="batch1", action="store_false")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the jitted TRAIN step per family x dtype "
+                         "(at tools/bench_train.py's recorded batches) "
+                         "instead of the inference forward")
     ap.add_argument("--record", action="store_true",
                     help="write results/roofline.json")
     args = ap.parse_args()
@@ -170,13 +252,21 @@ def main():
 
     for family in args.families.split(","):
         for dtype_name in args.dtypes.split(","):
-            batches = [bench.default_batch(family, dtype_name)]
-            if args.batch1:
-                batches.append(1)
-            for batch in batches:
-                key = f"{family}_{dtype_name}_b{batch}"
+            if args.train:
+                from bench_train import BF16_FAMILY_BATCH, FAMILY_BATCH
+
+                table = BF16_FAMILY_BATCH if dtype_name == "bf16" else FAMILY_BATCH
+                batches = [(f"train_{family}_{dtype_name}_b{table[family]}",
+                            table[family], measure_train_config)]
+            else:
+                bs = [bench.default_batch(family, dtype_name)]
+                if args.batch1:
+                    bs.append(1)
+                batches = [(f"{family}_{dtype_name}_b{b}", b, measure_config)
+                           for b in bs]
+            for key, batch, fn in batches:
                 try:
-                    r = measure_config(family, dtype_name, batch)
+                    r = fn(family, dtype_name, batch)
                 except Exception as e:  # record the failure, keep going
                     r = {"error": f"{type(e).__name__}: {e}"}
                 out["configs"][key] = r
@@ -191,6 +281,14 @@ def main():
     if args.record:
         path = os.path.join(REPO, "results", "roofline.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # merge: a --train (or subset) run must not clobber the other rows
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        merged_configs = {**prev.get("configs", {}), **out["configs"]}
+        out["configs"] = merged_configs
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         print(f"recorded -> {path}", file=sys.stderr)

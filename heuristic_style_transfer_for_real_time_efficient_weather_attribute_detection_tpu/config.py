@@ -62,9 +62,17 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> str:
         "WADT_XLA_CACHE", os.path.expanduser("~/.cache/wadt/xla_cache")
     )
     os.makedirs(cache_dir, exist_ok=True)
+    current = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache every jitted step (the default 1s floor would skip small ones)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if current and current != cache_dir:
+        # the cache backend latches its directory at first use; re-pointing
+        # it (e.g. CLI --compilation_cache after the test harness set a
+        # global cache) needs an explicit reset
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
     return cache_dir
 
 

@@ -484,6 +484,16 @@ class WatchFolderService:
         return {sv["name"]: sv.get("value") for sv in ann.get("sensorValues", [])}
 
     @staticmethod
+    def _write_json_atomic(path: str, obj) -> None:
+        """temp + rename: the watcher's JSON outputs are read concurrently by
+        home-automation consumers (and the tests) — a plain open(...,'w')
+        lets a reader see a torn file mid-dump."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=4)
+        os.replace(tmp, path)
+
+    @staticmethod
     def _append_csv_row(path: str, cols: List[str], row: Dict) -> None:
         """Append one row, writing the header iff the file is new.  Stdlib csv
         (NOT pandas): watcher threads run concurrently and pandas' lazy
@@ -566,14 +576,15 @@ class WatchFolderService:
                 ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
 
             payload = {"timestamp": ts, "image": last_file, "prediction": prediction}
-            with open(os.path.join(sub_save_dir, "last_prediction.json"), "w") as f:
-                json.dump(payload, f, indent=4)
+            self._write_json_atomic(
+                os.path.join(sub_save_dir, "last_prediction.json"), payload
+            )
             if is_first and self.save_dir_to_canon:
                 os.makedirs(self.save_dir_to_canon, exist_ok=True)
-                with open(
-                    os.path.join(self.save_dir_to_canon, "WeatherInfos.json"), "w"
-                ) as f:
-                    json.dump(payload, f, indent=4)
+                self._write_json_atomic(
+                    os.path.join(self.save_dir_to_canon, "WeatherInfos.json"),
+                    payload,
+                )
 
             row = {"timestamp": ts, "image": last_file}
             for t, pred in prediction.items():
@@ -600,8 +611,7 @@ class WatchFolderService:
                         perf["global_f1"] = float(
                             np.mean([perf[f"{t}_f1"] for t in tasks.names])
                         )
-                        with open(perf_file, "w") as pf:
-                            json.dump(perf, pf, indent=2)
+                        self._write_json_atomic(perf_file, perf)
                         self._append_csv_row(perf_hist_file, metric_cols, perf)
 
             self._stop.wait(interval)

@@ -258,6 +258,10 @@ def main():
     ap.add_argument("--layout", choices=("auto", "raw"), default="auto",
                     help="auto = production wire format (packed for PMG); "
                          "raw = force the raw-NHWC conv path")
+    ap.add_argument("--record", action="store_true",
+                    help="merge this single-config measurement into "
+                         "results/bench_matrix.json (key gains a _raw "
+                         "suffix under --layout raw)")
     args = ap.parse_args()
 
     if args.all:
@@ -280,6 +284,22 @@ def main():
 
     batch = args.batch or default_batch(args.family, args.dtype)
     ips = measure(args.family, args.dtype, batch, args.layout)
+    if args.record:
+        key = f"{args.family}_{args.dtype}"
+        if args.layout == "raw":
+            key += "_raw"
+        path = os.path.join(REPO, "results", "bench_matrix.json")
+        try:
+            with open(path) as f:
+                matrix = json.load(f)
+        except (OSError, ValueError):
+            matrix = {}
+        matrix[key] = {"images_per_sec": round(ips, 1), "batch": batch}
+        if args.layout == "raw":
+            matrix[key]["layout"] = "raw"
+        with open(path, "w") as f:
+            json.dump(matrix, f, indent=2)
+        print(f"[bench] recorded {key} -> {path}", file=sys.stderr)
     print(json.dumps(result_line(args.family, args.dtype, ips)))
 
 

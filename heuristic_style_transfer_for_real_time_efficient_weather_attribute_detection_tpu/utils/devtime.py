@@ -17,7 +17,7 @@ import tempfile
 from typing import List, Tuple
 
 
-def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float, str]]]:
+def device_time_ms(fn, *args, iters: int = 10, top_n: int = 12) -> Tuple[float, List[Tuple[float, str]]]:
     """Run jitted ``fn(*args)`` ``iters`` times under a profiler trace and
     return (device_ms_per_iter, [(ms_per_iter, op_name) top ops]).
 
@@ -75,5 +75,5 @@ def device_time_ms(fn, *args, iters: int = 10) -> Tuple[float, List[Tuple[float,
             "did not complete inside the trace window"
         )
     total_ms = sum(agg.values()) / 1e9 / iters
-    top = [(t / 1e9 / iters, n) for n, t in agg.most_common(12)]
+    top = [(t / 1e9 / iters, n) for n, t in agg.most_common(top_n)]
     return total_ms, top

@@ -38,3 +38,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import heuristic_style_transfer_for_real_time_efficient_weather_attribute_detection_tpu as _pkg  # noqa: E402
 
 _pkg.config.enable_parity_precision()
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow-marked exhaustive variants (also WADT_RUNSLOW=1); "
+             "the default run keeps a fast sibling of each",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("WADT_RUNSLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow exhaustive variant; run with --runslow (full pass "
+               "recorded in results/test_full_pass.json)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

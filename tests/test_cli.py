@@ -127,21 +127,34 @@ def test_cli_export_mode(env):
     assert res["preds"].shape == (2, len(pred.task_names))
 
 
-def test_cli_train_data_parallel_smoke(env, tmp_path, monkeypatch):
-    """`--mode train --data_parallel` must actually shard the train step
-    over the device mesh (regression: the CLI built a mesh engine but never
-    passed the mesh to fit, silently training single-device).  Runs one
-    epoch on the 8-virtual-device CPU mesh and checks the artifacts."""
+def test_cli_train_data_parallel_passes_mesh(env, tmp_path, monkeypatch):
+    """`--mode train --data_parallel` must hand the device mesh to fit
+    (regression: the CLI built a mesh engine but never passed the mesh,
+    silently training single-device).  Fast guard: fit is stubbed, only the
+    CLI plumbing runs — the real sharded epoch is the slow variant below."""
     import wadt.workloads.train as train_mod
 
     seen = {}
-    orig_fit = train_mod.fit
+    monkeypatch.setattr(
+        train_mod, "fit",
+        lambda *a, **kw: seen.update(mesh=kw.get("mesh")) or {"history": []},
+    )
+    base, synth, root = _base(env)
+    rc = main(base + [
+        "--mode", "train", "--data", os.path.join(synth, "dataset.json"),
+        "--save_dir", os.path.join(str(tmp_path), "t"), "--epochs", "1",
+        "--batch_size", "8", "--data_parallel", "--num_workers", "2",
+    ])
+    assert rc == 0
+    assert seen["mesh"] is not None and "data" in seen["mesh"].axis_names
 
-    def spy_fit(*a, **kw):
-        seen["mesh"] = kw.get("mesh")
-        return orig_fit(*a, **kw)
 
-    monkeypatch.setattr(train_mod, "fit", spy_fit)
+@pytest.mark.slow
+def test_cli_train_data_parallel_smoke(env, tmp_path):
+    """One REAL epoch through the CLI on the 8-virtual-device mesh, checking
+    the artifacts.  slow: fast siblings are
+    test_cli_train_data_parallel_passes_mesh (the CLI plumbing) and
+    test_parallel.py's step-level sharding equivalence."""
     base, synth, root = _base(env)
     save = os.path.join(str(tmp_path), "train_dp")
     rc = main(base + [
@@ -150,7 +163,6 @@ def test_cli_train_data_parallel_smoke(env, tmp_path, monkeypatch):
         "--data_parallel", "--num_workers", "2",
     ])
     assert rc == 0
-    assert seen["mesh"] is not None and "data" in seen["mesh"].axis_names
     assert os.path.exists(os.path.join(save, "best_model.pth"))
     hist = json.load(open(os.path.join(save, "training_history.json")))
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])

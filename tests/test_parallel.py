@@ -22,6 +22,20 @@ def _spec_params():
     return spec, pmg.init(jax.random.PRNGKey(0), spec)
 
 
+@pytest.fixture(scope="module")
+def mesh42_step():
+    """ONE default-config train step over the (4,2) mesh, shared by the
+    loss-decrease and sharded==unsharded tests (per-test compiles were the
+    suite's top wall-clock cost on this 1-core rig)."""
+    from wadt.parallel.mesh import make_mesh
+    from wadt.parallel.train import make_train_step
+
+    spec, _ = _spec_params()
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    init_fn, step_fn = make_train_step("pmg", spec, mesh=mesh)
+    return init_fn, step_fn
+
+
 def test_engine_data_parallel_matches_single_device():
     import jax
 
@@ -39,17 +53,12 @@ def test_engine_data_parallel_matches_single_device():
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
-def test_train_step_dp_tp_loss_decreases():
+def test_train_step_dp_tp_loss_decreases(mesh42_step):
     import jax
-    import jax.numpy as jnp
 
     from wadt.config import IGNORE_INDEX
-    from wadt.parallel.mesh import make_mesh
-    from wadt.parallel.train import make_train_step
 
-    spec, _ = _spec_params()
-    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
-    init_fn, step_fn = make_train_step("pmg", spec, mesh=mesh)
+    init_fn, step_fn = mesh42_step
     state = init_fn(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -87,11 +96,10 @@ def test_param_shardings_path_aware():
         assert leaf_sh.spec == P(), (name, leaf_sh.spec)
 
 
-def test_train_matches_unsharded():
+def test_train_matches_unsharded(mesh42_step):
     """Same seed, same data: sharded and unsharded training must agree."""
     import jax
 
-    from wadt.parallel.mesh import make_mesh
     from wadt.parallel.train import make_train_step
 
     spec, _ = _spec_params()
@@ -100,8 +108,8 @@ def test_train_matches_unsharded():
     labels = rng.randint(0, 2, (8, 2)).astype(np.int32)
 
     results = []
-    for mesh in (None, make_mesh(8, axes=("data", "model"), shape=(4, 2))):
-        init_fn, step_fn = make_train_step("pmg", spec, mesh=mesh)
+    for fns in (make_train_step("pmg", spec), mesh42_step):
+        init_fn, step_fn = fns
         state = init_fn(jax.random.PRNGKey(0))
         for _ in range(3):
             state, loss = step_fn(state, images, labels)
@@ -109,10 +117,14 @@ def test_train_matches_unsharded():
     assert abs(results[0] - results[1]) < 1e-4, results
 
 
+@pytest.mark.slow
 def test_train_augment_matches_unsharded():
     """Augmentation inside the dp-sharded step (replicated rng, vmapped
     dynamic_slice crops over the sharded batch axis) must agree with the
-    unsharded step exactly like the plain path does."""
+    unsharded step exactly like the plain path does.
+
+    slow: the exhaustive variant of test_train_matches_unsharded (its fast
+    sibling); augmentation itself is covered by test_train.py."""
     import jax
 
     from wadt.parallel.mesh import make_mesh
@@ -155,7 +167,10 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_contract():
+    """slow: the driver executes dryrun_multichip(8) itself every round
+    (MULTICHIP_r*.json); this in-suite copy is for pre-push checks."""
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)  # must not raise
@@ -171,10 +186,15 @@ def test_graft_entry_compiles():
     assert out.shape == (imgs.shape[0], 12, 8)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_bf16_mixed_precision():
     """bf16 compute under the dp x tp mesh: loss decreases, master params
     stay f32, task-axis sharding still applied (the single-chip
-    mixed-precision parity itself is gated on the TPU checklist)."""
+    mixed-precision parity itself is gated on the TPU checklist).
+
+    slow: the bf16 x sharding cross-variant; fast siblings are
+    test_train_step_dp_tp_loss_decreases (sharding) and
+    test_train.py::test_mixed_precision_train_step (bf16 master-dtype)."""
     import jax
     import jax.numpy as jnp
 

@@ -130,12 +130,29 @@ def main():
                 prev = json.load(f)
         except (OSError, ValueError):
             prev = {}
+        # keep a run history so the README can claim a RANGE with evidence
+        # (round-3 verdict: "52-92 req/s" was claimed off a single 51.9 run)
+        runs = prev.get(args.family, {}).get("runs", [])
+        runs.append({
+            "requests_per_sec": round(rps, 1),
+            "date": time.strftime("%Y-%m-%d"),
+            "clients": args.clients,
+        })
+        rates = sorted(r["requests_per_sec"] for r in runs
+                       if r.get("clients") == args.clients)
         prev[args.family] = {
             "requests_per_sec": round(rps, 1),
             "clients": args.clients,
             "client_p50_ms": round(p50, 2),
             "client_p99_ms": round(p99, 2),
             "batcher_internal": internal,
+            "runs": runs,
+            "range_req_per_sec": {
+                "min": rates[0],
+                "median": rates[len(rates) // 2],
+                "max": rates[-1],
+                "n": len(rates),
+            },
         }
         with open(path, "w") as f:
             json.dump(prev, f, indent=2)

@@ -81,6 +81,50 @@ def measure_config(family, dtype_name, batch):
     flops = float(ca.get("flops", 0.0))
     bytes_acc = float(ca.get("bytes accessed", 0.0))
 
+    # SUSTAINED regime: the same forward compiled as a data-dependent
+    # fori_loop body (bench.py's protocol).  XLA gives the loop program
+    # better buffer placement (VMEM-resident intermediates) and pipelines
+    # across iterations, so per-forward device time is LOWER than a
+    # standalone dispatch — e.g. rtm_bf16_b128 11.0k standalone vs 13.5k
+    # sustained img/s, the round-3 "22% disagreement", attributed per-op by
+    # tools/exp_rtm_regimes.py (same conv fusions, 751 -> 625 us).  Both
+    # regimes are recorded; bench_matrix/bench_floor numbers are sustained.
+    sustained = None
+    if batch > 1:
+        inner = {"pmg": 100, "pm": 40, "rtm": 20}.get(family, 20)
+        if packed:
+            def chain_fn(p, z8):
+                def one(i, salt):
+                    logits, _ = mod.apply_packed(
+                        p, jnp.bitwise_xor(z8, salt), spec, dtype=dtype
+                    )
+                    return (logits[0, 0, 0] * 0.0).astype(jnp.uint8)
+
+                return jax.lax.fori_loop(0, inner, one, jnp.zeros((), jnp.uint8))
+        else:
+            def chain_fn(p, u8):
+                def one(i, salt):
+                    x = normalize_uint8(u8, dtype) + salt
+                    logits, _ = mod.apply(p, x, spec)
+                    return (logits[0, 0, 0] * 0.0).astype(dtype)
+
+                return jax.lax.fori_loop(0, inner, one, jnp.zeros((), dtype))
+        try:
+            t_chain, _ = device_time_ms(
+                jax.jit(chain_fn), params, imgs, iters=1)
+            t_sus = t_chain / inner / 1e3
+            sustained = {
+                "images_per_sec": round(batch / t_sus, 1),
+                "device_ms": round(t_chain / inner, 4),
+                "hbm_utilization": round(
+                    bytes_acc / t_sus / 1e9 / PEAKS["hbm_gbps"], 4),
+                "mxu_utilization": round(
+                    flops / t_sus / 1e12 / PEAKS["mxu_tflops_bf16"], 4),
+                "inner": inner,
+            }
+        except (RuntimeError, StopIteration):
+            pass  # CPU fallback runs record only the standalone regime
+
     try:
         t_ms, top = device_time_ms(jitted, params, imgs, iters=20)
         timing = "trace"
@@ -117,7 +161,7 @@ def measure_config(family, dtype_name, batch):
         bound = "mxu"
     else:
         bound = "overhead/latency"
-    return {
+    out = {
         "batch": batch,
         "layout": "s2d-packed" if packed else "raw",
         "timing": timing,
@@ -134,6 +178,9 @@ def measure_config(family, dtype_name, batch):
             [round(ms * 1e3, 1), name] for ms, name in top[:6]
         ],
     }
+    if sustained is not None:
+        out["sustained"] = sustained
+    return out
 
 
 def measure_train_config(family, dtype_name, batch):

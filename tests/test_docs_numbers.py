@@ -91,12 +91,15 @@ CLAIMS = [
         "README.md",
         "RTM roofline utilizations at batch 128",
         r"rtm_f32's XLA bytes estimate\s*sits at ([\d.]+)× the v5e's 819 GB/s "
-        r"HBM peak and rtm_bf16 at ([\d.]+)",
+        r"HBM peak and rtm_bf16 at ([\d.]+)\s*single-dispatch — and at "
+        r"([\d.]+) in the sustained regime",
         lambda: [
             _art("roofline.json")["configs"]["rtm_f32_b128"]["hbm_utilization"],
             _art("roofline.json")["configs"]["rtm_bf16_b128"]["hbm_utilization"],
+            _art("roofline.json")["configs"]["rtm_bf16_b128"]["sustained"][
+                "hbm_utilization"],
         ],
-        0.01,
+        0.015,
     ),
     (
         "README.md",

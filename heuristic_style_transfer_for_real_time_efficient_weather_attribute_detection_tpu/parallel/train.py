@@ -95,9 +95,16 @@ def make_optimizer(
     params_template=None,
 ):
     """The recorded reference training recipe
-    (hyperparameters_PMG.json:34-51: AdamW lr 3e-4, wd 1e-4, accum_steps)."""
-    mask = _decay_mask(params_template) if params_template is not None else None
-    opt = optax.adamw(lr, weight_decay=weight_decay, mask=mask)
+    (hyperparameters_PMG.json:34-51: AdamW lr 3e-4, wd 1e-4, accum_steps).
+
+    The decay mask is passed as a CALLABLE (optax evaluates it lazily at
+    ``opt.init``), so building the optimizer costs nothing — no eager param
+    init is needed just to shape the mask.  ``params_template`` is accepted
+    for backward compatibility and ignored (the mask depends only on tree
+    paths, which the callable sees at init time).
+    """
+    del params_template
+    opt = optax.adamw(lr, weight_decay=weight_decay, mask=_decay_mask)
     if accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
     return opt
@@ -359,8 +366,7 @@ def make_train_step(
             }
         return TrainState(params, opt_state, state.step + 1), loss
 
-    template = mod.init(jax.random.PRNGKey(0), spec) if optimizer is None else None
-    opt = optimizer or make_optimizer(params_template=template)
+    opt = optimizer or make_optimizer()
 
     def init_fn(key) -> TrainState:
         params = mod.init(key, spec)
@@ -374,3 +380,74 @@ def make_train_step(
     else:
         step = jax.jit(step)
     return init_fn, step
+
+
+# ---------------------------------------------------------------------------
+# Memoized step construction.  jax.jit caches traces PER FUNCTION OBJECT, so a
+# fresh make_train_step closure re-traces (and on a cold XLA cache recompiles)
+# an identical program.  Callers that rebuild the step with the same config —
+# fit() resuming a run, a training service handling repeat jobs — get the
+# previously traced step back instead.
+_STEP_CACHE: dict = {}
+_STEP_CACHE_MAX = 16  # compiled executables are not free; FIFO-evict
+
+
+def _freeze_for_key(x):
+    """Canonicalize a kwarg into something hashable, or raise TypeError."""
+    if isinstance(x, dict):
+        return tuple(sorted((k, _freeze_for_key(v)) for k, v in x.items()))
+    if isinstance(x, (list, tuple)):
+        return tuple(_freeze_for_key(v) for v in x)
+    if hasattr(x, "tobytes"):  # ndarray-likes (class_weights)
+        import numpy as np
+
+        a = np.asarray(x)
+        return (a.shape, str(a.dtype), a.tobytes())
+    hash(x)
+    return x
+
+
+def cached_train_step(
+    family: str,
+    spec,
+    *,
+    lr: float = 3e-4,
+    weight_decay: float = 1e-4,
+    accum_steps: int = 1,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Memoized :func:`make_train_step` + its optimizer.
+
+    Returns ``(optimizer, init_fn, step_fn)``.  Two calls with equal
+    ``(family, spec, optimizer hyperparameters, kwargs)`` in one process
+    return the SAME jitted step, so the second call skips tracing entirely
+    (and the optimizer's decay mask, which depends only on the param
+    STRUCTURE fixed by family+spec, is safely shared).  Meshes key by
+    identity.  Unhashable custom kwargs fall back to an uncached build.
+    """
+    try:
+        key = (
+            family,
+            spec,
+            lr,
+            weight_decay,
+            accum_steps,
+            None if mesh is None else id(mesh),
+            _freeze_for_key(kwargs),
+        )
+    except TypeError:
+        key = None
+    if key is not None and key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    optimizer = make_optimizer(
+        lr=lr, weight_decay=weight_decay, accum_steps=accum_steps
+    )
+    bundle = (optimizer,) + tuple(
+        make_train_step(family, spec, optimizer, mesh=mesh, **kwargs)
+    )
+    if key is not None:
+        if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        _STEP_CACHE[key] = bundle
+    return bundle

@@ -31,9 +31,8 @@ from ..models import get_family
 from ..ops.preprocess import normalize_uint8_host
 from ..parallel.train import (
     TrainState,
+    cached_train_step,
     compute_class_weights,
-    make_optimizer,
-    make_train_step,
 )
 
 DEFAULT_OPTIONS: Dict[str, Any] = {
@@ -71,6 +70,12 @@ DEFAULT_OPTIONS: Dict[str, Any] = {
     "augment": False,
 }
 
+# Validation engines shared across repeat fits with the same
+# (family, spec, eval batch) — params are a traced argument, so swapping
+# them per fit costs no retrace.  fit() is a sequential API; the cache is
+# not for concurrent fits.
+_EVAL_ENGINE_CACHE: Dict[Any, Engine] = {}
+
 
 def _val_overall_f1(engine: Engine, images, labels) -> float:
     from sklearn.metrics import f1_score
@@ -107,7 +112,7 @@ def fit(
     import jax
 
     opts = {**DEFAULT_OPTIONS, **(options or {})}
-    mod = get_family(family)
+    get_family(family)  # fail fast on an unknown family
     os.makedirs(save_dir, exist_ok=True)
 
     ds = MultiTaskDataset(data_json, classes_json)
@@ -167,13 +172,12 @@ def fit(
             mode=opts["class_weight_mode"], cap=opts["class_weight_cap"],
         )
 
-    optimizer = make_optimizer(
+    # Memoized: a resume (or any repeat fit with the same config in this
+    # process) reuses the already-traced step instead of re-tracing it.
+    optimizer, init_fn, step_fn = cached_train_step(
+        family, spec, mesh=mesh,
         lr=opts["lr"], weight_decay=opts["weight_decay"],
         accum_steps=opts["accum_steps"],
-        params_template=(init_params or mod.init(jax.random.PRNGKey(0), spec)),
-    )
-    init_fn, step_fn = make_train_step(
-        family, spec, optimizer, mesh=mesh,
         use_focal=opts["use_focal"], focal_gamma=opts["focal_gamma"],
         class_weights=class_weights, freeze_encoder=opts["freeze_encoder"],
         dropout_rate=opts["dropout_rate"], dropout_seed=opts["seed"] + 1234,
@@ -205,10 +209,21 @@ def fit(
 
     eval_idx = val_idx if n_val else train_idx[: min(64, len(train_idx))]
     val_imgs, val_labels = fetch(eval_idx), all_labels[eval_idx]
-    # One compiled eval engine for all epochs (params swap without retrace:
-    # they are a traced argument of the jitted step).
-    eval_engine = Engine(family, spec, state.params,
-                         batch_size=min(bs, 64), prob_threshold=0.0)
+    # One compiled eval engine for all epochs AND across repeat fits of the
+    # same config in this process (params swap without retrace: they are a
+    # traced argument of the jitted step).
+    try:
+        eng_key = hash((family, spec, min(bs, 64))) and (family, spec, min(bs, 64))
+    except TypeError:  # unhashable custom spec: skip caching
+        eng_key = None
+    eval_engine = _EVAL_ENGINE_CACHE.get(eng_key) if eng_key else None
+    if eval_engine is None:
+        eval_engine = Engine(family, spec, state.params,
+                             batch_size=min(bs, 64), prob_threshold=0.0)
+        if eng_key is not None:
+            if len(_EVAL_ENGINE_CACHE) >= 8:
+                _EVAL_ENGINE_CACHE.pop(next(iter(_EVAL_ENGINE_CACHE)))
+            _EVAL_ENGINE_CACHE[eng_key] = eval_engine
 
     for epoch in range(start_epoch, opts["epochs"]):
         # per-epoch seeded order -> identical schedule across resumes

@@ -176,7 +176,23 @@ def test_graft_dryrun_contract():
     graft.dryrun_multichip(8)  # must not raise
 
 
+def test_graft_entry_traces():
+    """Default-run contract check: entry() traces to the right output shape
+    (eval_shape — no XLA compile; the driver compile-checks entry() itself
+    every round, and the slow sibling below executes it)."""
+    import jax
+
+    import __graft_entry__ as graft
+
+    fn, (params, imgs) = graft.entry()
+    out = jax.eval_shape(fn, params, imgs)
+    assert out.shape == (imgs.shape[0], 12, 8)
+
+
+@pytest.mark.slow
 def test_graft_entry_compiles():
+    """slow: the driver compile-checks entry() single-chip every round;
+    fast sibling test_graft_entry_traces covers the trace contract."""
     import jax
 
     import __graft_entry__ as graft

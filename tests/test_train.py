@@ -349,3 +349,26 @@ def test_fit_resume_matches_straight_run(tmp_path):
     ja, jb = jax.tree_util.tree_leaves(out_a["params"]), jax.tree_util.tree_leaves(out_b["params"])
     for x, y in zip(ja, jb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_cached_train_step_reuses_traced_step():
+    """cached_train_step: same config -> the SAME jitted step object (no
+    re-trace on resume / repeat fits); any config delta -> a distinct step.
+    ndarray kwargs (class_weights) key by value, meshes by identity."""
+    from wadt.parallel.train import _STEP_CACHE, cached_train_step
+
+    spec = pmg.build_spec(TASKS, TINY)
+    a = cached_train_step("pmg", spec, dropout_rate=0.0)
+    b = cached_train_step("pmg", spec, dropout_rate=0.0)
+    assert a[1] is b[1] and a[2] is b[2] and a[0] is b[0]
+    c = cached_train_step("pmg", spec, dropout_rate=0.5)
+    assert c[2] is not a[2]
+    d = cached_train_step("pmg", spec, dropout_rate=0.0, lr=1e-3)
+    assert d[2] is not a[2]
+    cw = np.ones((2, 3), np.float32)
+    e = cached_train_step("pmg", spec, class_weights=cw)
+    f = cached_train_step("pmg", spec, class_weights=cw.copy())
+    assert e[2] is f[2]
+    g = cached_train_step("pmg", spec, class_weights=cw * 2)
+    assert g[2] is not e[2]
+    assert len(_STEP_CACHE) <= 16

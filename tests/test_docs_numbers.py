@@ -160,6 +160,31 @@ CLAIMS = [
         ],
         0.01,
     ),
+    (
+        "README.md",
+        "style-transfer s/image (device loop vs host-stepped)",
+        r"\*\*([\d.]+) s/image\*\* for 300 iterations.*?~([\d,]+) s/image "
+        r"measured for a\s*host-stepped loop",
+        lambda: [
+            _art("bench_style.json")["s_per_image"],
+            _art("bench_style.json")["host_stepped_s_per_image_est"],
+        ],
+        0.01,
+    ),
+    (
+        "docs/TRAINING.md",
+        "train-step bound attribution (PM f32/bf16 rows)",
+        r"f32 ([\d.]+) TF/s at ([\d.]+) of the 819 GB/s peak;\s*"
+        r"bf16 ([\d.]+) TF/s, ([\d.]+) MXU / ([\d.]+) HBM",
+        lambda: [
+            _art("roofline.json")["configs"]["train_pm_f32_b128"]["achieved_tflops"],
+            _art("roofline.json")["configs"]["train_pm_f32_b128"]["hbm_utilization"],
+            _art("roofline.json")["configs"]["train_pm_bf16_b128"]["achieved_tflops"],
+            _art("roofline.json")["configs"]["train_pm_bf16_b128"]["mxu_utilization"],
+            _art("roofline.json")["configs"]["train_pm_bf16_b128"]["hbm_utilization"],
+        ],
+        0.015,
+    ),
 ]
 
 

@@ -186,6 +186,8 @@ class Engine:
             out.update(aux)
             return out
 
+        self._step_fn = _step
+        self._scan_jits: Dict[int, object] = {}
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -225,6 +227,54 @@ class Engine:
                 (images.shape[0], len(self.tasks)), IGNORE_INDEX, np.int32
             )
         return self._jit(self._run_params, images, labels)
+
+    def _scan_jit(self, k: int):
+        """Compiled scan of the step over ``k`` stacked micro-batches.
+
+        One dispatch runs k forwards as a ``lax.scan`` body — the same
+        loop-program compilation the sustained benchmark regime gets
+        (docs/BENCHMARKING.md "The two regimes": XLA keeps the body's
+        intermediates VMEM-resident and pipelines across iterations),
+        measured +19% device throughput for rtm_bf16_b128 vs per-batch
+        dispatches (tools/exp_scan_chunk.py).  Cached per k.
+        """
+        fn = self._scan_jits.get(k)
+        if fn is None:
+            step = self._step_fn
+
+            def scanned(params, images, labels):
+                def body(carry, xs):
+                    return carry, step(params, xs[0], xs[1])
+
+                _, outs = jax.lax.scan(
+                    body, jnp.zeros((), jnp.int32), (images, labels)
+                )
+                return outs
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import replicated
+
+                stacked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                fn = jax.jit(
+                    scanned,
+                    in_shardings=(replicated(self.mesh), stacked, stacked),
+                )
+            else:
+                fn = jax.jit(scanned)
+            self._scan_jits[k] = fn
+        return fn
+
+    def step_scan(self, images: np.ndarray, labels: Optional[np.ndarray] = None):
+        """One compiled dispatch over ``[k, batch_size, ...]`` stacked
+        micro-batches -> result leaves shaped [k, batch_size, ...]
+        (per-task aggregates [k, T])."""
+        k = images.shape[0]
+        if labels is None:
+            labels = np.full(
+                (k, images.shape[1], len(self.tasks)), IGNORE_INDEX, np.int32
+            )
+        return self._scan_jit(k)(self._run_params, images, labels)
 
     def warmup(self, img_size: int = 224) -> None:
         if self.pack_k is not None:
@@ -291,6 +341,7 @@ class Engine:
         labels: Optional[np.ndarray] = None,
         collect: Sequence[str] = ("probs", "preds"),
         measure_time: bool = False,
+        scan_chunk: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Forward N images (any N) -> host dict of stacked arrays [N, ...].
 
@@ -304,6 +355,13 @@ class Engine:
         the tail batch; per-batch wall-times returned under "times" when
         ``measure_time`` (parity with the reference's times_*.json telemetry
         — timing forces per-batch synchronization).
+
+        ``scan_chunk=k`` stacks k full micro-batches and runs them as ONE
+        compiled ``lax.scan`` dispatch (:meth:`step_scan`) — the sustained
+        loop-program regime, +19% RTM bf16 device throughput and 1/k the
+        dispatch/fetch overhead; the tail still goes through the per-batch
+        path, and ``measure_time`` disables it (the times_*.json telemetry
+        contract is per-batch).
         """
         images = self._validate_and_pack(images)
         n = images.shape[0]
@@ -315,19 +373,46 @@ class Engine:
         fetch_keys = set(collect)
         if labels is not None:
             fetch_keys |= {"loss_per_task", "count_per_task"}
-        inflight: List[Tuple[int, Dict]] = []
+        inflight: List[Tuple[int, Dict, bool]] = []
 
         def _drain_one() -> None:
-            take, res = inflight.pop(0)
+            take, res, scanned = inflight.pop(0)
             host = jax.device_get({k: res[k] for k in fetch_keys})
             for k in collect:
-                outs[k].append(host[k][:take])
+                v = host[k]
+                if scanned:  # [k, bs, ...] -> [k*bs, ...]
+                    v = v.reshape((-1,) + v.shape[2:])
+                outs[k].append(v[:take])
             if labels is not None:
                 cnt = host["count_per_task"].astype(np.int64)
-                np.add(loss_sums, host["loss_per_task"] * cnt, out=loss_sums)
+                contrib = host["loss_per_task"] * cnt
+                if scanned:  # per-task aggregates come back [k, T]
+                    cnt, contrib = cnt.sum(axis=0), contrib.sum(axis=0)
+                np.add(loss_sums, contrib, out=loss_sums)
                 np.add(counts, cnt, out=counts)
 
-        for s in range(0, n, bs):
+        start = 0
+        k = self.resolve_scan_chunk(scan_chunk)
+        if k > 1 and not measure_time and n >= k * bs:
+            for s in range(0, (n // (k * bs)) * k * bs, k * bs):
+                e = s + k * bs
+                stack = images[s:e].reshape((k, bs) + images.shape[1:])
+                lab = (
+                    labels[s:e].reshape(k, bs, -1)
+                    if labels is not None else None
+                )
+                res = self.step_scan(stack, lab)
+                for kk in fetch_keys:
+                    try:
+                        res[kk].copy_to_host_async()
+                    except AttributeError:  # non-Array backends/mocks
+                        pass
+                inflight.append((k * bs, res, True))
+                if len(inflight) >= 4:
+                    _drain_one()
+                start = e
+
+        for s in range(start, n, bs):
             e = min(s + bs, n)
             chunk, lab = pad_batch(
                 images[s:e], bs, labels[s:e] if labels is not None else None
@@ -342,7 +427,7 @@ class Engine:
             if measure_time:
                 jax.block_until_ready(res)
                 times.append(time.perf_counter() - t0)
-            inflight.append((e - s, res))
+            inflight.append((e - s, res, False))
             if len(inflight) >= 4:
                 _drain_one()
         while inflight:
@@ -354,6 +439,99 @@ class Engine:
         if measure_time:
             result["times"] = np.asarray(times)
         return result
+
+    def resolve_scan_chunk(self, scan_chunk) -> int:
+        """``"auto"`` -> the recorded per-family-and-dtype winner from the
+        measured A/B (results/kernel_ab.json, op
+        ``eval_scan_chunk_<family>_<f32|bf16>``, recorded by
+        tools/exp_scan_chunk.py --record; the regimes differ by dtype —
+        RTM's sustained program wins bf16 but not f32); ints pass through.
+        No record / off-TPU -> 1 (per-batch dispatch)."""
+        if scan_chunk == "auto":
+            from ..ops.kernel_select import winner
+
+            dt = "bf16" if self.dtype == jnp.bfloat16 else "f32"
+            w = winner(f"eval_scan_chunk_{self.family}_{dt}",
+                       default="standalone")
+            return int(w[len("scan_k"):]) if w.startswith("scan_k") else 1
+        return int(scan_chunk or 1)
+
+    def run_stream(
+        self,
+        batches,
+        collect: Sequence[str] = ("probs",),
+        scan_chunk="auto",
+        depth: int = 3,
+    ) -> Tuple[Dict[str, np.ndarray], List]:
+        """Drive a loader's ``(imgs, labels, extra)`` batches through the
+        scan-chunk path: consecutive FULL micro-batches are stacked k at a
+        time into ONE ``lax.scan`` dispatch (the sustained loop program —
+        docs/BENCHMARKING.md), with up to ``depth`` dispatches in flight;
+        short/tail batches fall back to the per-batch pipeline in order.
+        Returns ``(stacked result dict, flattened extras)`` — row order
+        matches the input order, so extras (e.g. kept paths from a
+        ``skip_errors`` loader) stay aligned with the result rows.
+        """
+        k = self.resolve_scan_chunk(scan_chunk)
+        outs: Dict[str, List[np.ndarray]] = {c: [] for c in collect}
+        extras: List = []
+        inflight: List[Tuple[int, Dict, bool]] = []
+
+        def _drain_one() -> None:
+            take, res, scanned = inflight.pop(0)
+            host = jax.device_get(res)
+            for c in collect:
+                v = host[c]
+                if scanned:  # [k, bs, ...] -> [k*bs, ...]
+                    v = v.reshape((-1,) + v.shape[2:])
+                outs[c].append(v[:take])
+
+        def _submit(take: int, picked: Dict, scanned: bool) -> None:
+            for v in picked.values():
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:  # non-Array backends/mocks
+                    pass
+            inflight.append((take, picked, scanned))
+            if len(inflight) >= depth:
+                _drain_one()
+
+        buf: List[np.ndarray] = []
+
+        def _flush_buf() -> None:
+            while buf:
+                imgs = buf.pop(0)
+                n, picked = self.dispatch(imgs, collect=collect)
+                _submit(n, picked, False)
+
+        for item in batches:
+            imgs = item[0]
+            if len(item) > 2 and item[2] is not None:
+                extras.extend(item[2])
+            imgs = self._validate_and_pack(imgs)
+            if k > 1 and imgs.shape[0] == self.batch_size:
+                buf.append(imgs)
+                if len(buf) == k:
+                    stack = np.stack(buf)
+                    buf.clear()
+                    res = self.step_scan(stack)
+                    _submit(k * self.batch_size,
+                            {c: res[c] for c in collect}, True)
+            else:
+                # a short batch mid-stream (skip_errors loader) or tail:
+                # flush buffered fulls first so row order is preserved
+                _flush_buf()
+                n, picked = self.dispatch(imgs, collect=collect)
+                _submit(n, picked, False)
+        _flush_buf()
+        while inflight:
+            _drain_one()
+        result = {
+            c: (np.concatenate(v, axis=0) if v
+                else np.zeros((0,), np.float32))
+            for c, v in outs.items()
+        }
+        return result, extras
 
     def predict_dict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """{task: probs [N, K_t]} — the reference's per-task dict contract."""

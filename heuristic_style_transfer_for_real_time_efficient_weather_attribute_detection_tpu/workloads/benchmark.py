@@ -316,12 +316,12 @@ def run_benchmark(
     # Batched device forwards (vs the reference's batch=1 loop).
     loader = BatchLoader([p for p, _ in images], batch_size=engine.batch_size,
                          num_workers=num_workers, pack_k=engine.pack_k)
-    probs_chunks = []
-    for imgs, _labels, _paths in loader:
-        probs_chunks.append(engine.run(imgs, collect=("probs",))["probs"])
+    # scan-chunked stream: k full batches per dispatch when the recorded
+    # A/B says the sustained loop program wins (Engine.run_stream)
+    res, _ = engine.run_stream(loader, collect=("probs",))
     probs_all = (
-        np.concatenate(probs_chunks)
-        if probs_chunks
+        res["probs"]
+        if len(res["probs"])
         else np.zeros((0, len(tasks), tasks.max_classes))
     )
 

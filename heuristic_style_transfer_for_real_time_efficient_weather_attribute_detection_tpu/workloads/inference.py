@@ -160,13 +160,10 @@ def _predict_batched(engine: Engine, paths: List[str], num_workers: int = 4):
     """
     loader = BatchLoader(paths, batch_size=engine.batch_size, num_workers=num_workers,
                          skip_errors=True, pack_k=engine.pack_k)
-    chunks, kept = [], []
-    for imgs, _, batch_paths in loader:
-        chunks.append(engine.run(imgs, collect=("probs",))["probs"])
-        kept.extend(batch_paths)
+    res, kept = engine.run_stream(loader, collect=("probs",))
     probs = (
-        np.concatenate(chunks)
-        if chunks
+        res["probs"]
+        if len(res["probs"])
         else np.zeros((0, len(engine.tasks), engine.tasks.max_classes))
     )
     return probs, kept

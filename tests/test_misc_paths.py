@@ -97,6 +97,80 @@ def test_engine_bf16_smoke():
     assert (a == b).mean() > 0.7
 
 
+def test_engine_scan_chunk_matches_per_batch():
+    """run(scan_chunk=k) — one lax.scan dispatch per k stacked micro-batches
+    (the sustained-regime program, docs/BENCHMARKING.md) — must return the
+    same probs/preds/loss as the per-batch path, including the non-scanned
+    tail and IGNORE-padded labels."""
+    import jax
+
+    from wadt.config import IGNORE_INDEX
+    from wadt.engine.executor import Engine
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    eng = Engine("pmg", spec, params, batch_size=4)
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (19, 64, 64, 3), np.uint8)  # 4 full + tail 3
+    labels = rng.randint(0, 2, (19, 2)).astype(np.int32)
+    labels[::5, 0] = IGNORE_INDEX
+
+    ref = eng.run(imgs, labels, collect=("probs", "preds", "logits"))
+    got = eng.run(imgs, labels, collect=("probs", "preds", "logits"),
+                  scan_chunk=2)
+    np.testing.assert_array_equal(got["preds"], ref["preds"])
+    np.testing.assert_allclose(got["logits"], ref["logits"], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got["probs"], ref["probs"], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(got["count_per_task"], ref["count_per_task"])
+    np.testing.assert_allclose(got["loss_per_task"], ref["loss_per_task"],
+                               rtol=1e-6)
+
+    # chunk larger than the number of full batches falls back cleanly
+    got8 = eng.run(imgs, labels, collect=("preds",), scan_chunk=8)
+    np.testing.assert_array_equal(got8["preds"], ref["preds"])
+    # measure_time keeps the per-batch telemetry contract (no scan)
+    timed = eng.run(imgs, labels, collect=("preds",), scan_chunk=2,
+                    measure_time=True)
+    assert len(timed["times"]) == 5
+
+
+def test_engine_run_stream_scan_order_and_extras(monkeypatch):
+    """run_stream stacks consecutive FULL loader batches into scan
+    dispatches; short batches mid-stream (skip_errors loaders) flush the
+    buffer first so row order and extras stay aligned."""
+    import jax
+
+    from wadt.engine.executor import Engine
+
+    spec = pmg.build_spec(TASKS, TINY)
+    params = pmg.init(jax.random.PRNGKey(0), spec)
+    eng = Engine("pmg", spec, params, batch_size=4)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (17, 64, 64, 3), np.uint8)
+    # sizes 4, 2 (short mid-stream), 4, 4, 3 (tail)
+    cuts = [0, 4, 6, 10, 14, 17]
+    batches = [
+        (imgs[a:b], None, list(range(a, b)))
+        for a, b in zip(cuts, cuts[1:])
+    ]
+    res, extras = eng.run_stream(batches, collect=("probs", "preds"),
+                                 scan_chunk=2)
+    assert extras == list(range(17))
+    ref = eng.run(imgs, collect=("probs", "preds"))
+    np.testing.assert_allclose(res["probs"], ref["probs"], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(res["preds"], ref["preds"])
+
+    # "auto" resolves through the recorded A/B winner (none on CPU -> 1)
+    assert eng.resolve_scan_chunk("auto") == 1
+    from wadt.ops import kernel_select
+
+    monkeypatch.setattr(kernel_select, "winner",
+                        lambda op, default="xla": "scan_k8")
+    assert eng.resolve_scan_chunk("auto") == 8
+    assert eng.resolve_scan_chunk(4) == 4
+    assert eng.resolve_scan_chunk(None) == 1
+
+
 def test_style_transfer_gray_init():
     from wadt.workloads.style_transfer import run_patch_gram_style_transfer
 

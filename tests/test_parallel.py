@@ -53,6 +53,23 @@ def test_engine_data_parallel_matches_single_device():
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
+def test_engine_scan_chunk_sharded_matches_single_device():
+    """scan_chunk stacks batches as [k, B, ...]; under a mesh the batch axis
+    moves to axis 1, so the scan program shards P(None, 'data') — its output
+    must still match the single-device per-batch path."""
+    from wadt.engine.executor import Engine
+    from wadt.parallel.mesh import make_mesh
+
+    spec, params = _spec_params()
+    imgs = np.random.RandomState(1).randint(0, 256, (32, 32, 32, 3), np.uint8)
+
+    single = Engine("pmg", spec, params, batch_size=16)
+    sharded = Engine("pmg", spec, params, batch_size=16, mesh=make_mesh(8))
+    a = single.run(imgs, collect=("logits",))["logits"]
+    b = sharded.run(imgs, collect=("logits",), scan_chunk=2)["logits"]
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_train_step_dp_tp_loss_decreases(mesh42_step):
     import jax
 

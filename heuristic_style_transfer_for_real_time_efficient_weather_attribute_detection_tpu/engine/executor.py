@@ -234,9 +234,9 @@ class Engine:
         One dispatch runs k forwards as a ``lax.scan`` body — the same
         loop-program compilation the sustained benchmark regime gets
         (docs/BENCHMARKING.md "The two regimes": XLA keeps the body's
-        intermediates VMEM-resident and pipelines across iterations),
-        measured +19% device throughput for rtm_bf16_b128 vs per-batch
-        dispatches (tools/exp_scan_chunk.py).  Cached per k.
+        intermediates VMEM-resident and pipelines across iterations; the
+        recorded regime split is ~+22% for rtm_bf16_b128).  Measured per
+        family x dtype by tools/exp_scan_chunk.py.  Cached per k.
         """
         fn = self._scan_jits.get(k)
         if fn is None:
@@ -358,10 +358,10 @@ class Engine:
 
         ``scan_chunk=k`` stacks k full micro-batches and runs them as ONE
         compiled ``lax.scan`` dispatch (:meth:`step_scan`) — the sustained
-        loop-program regime, +19% RTM bf16 device throughput and 1/k the
-        dispatch/fetch overhead; the tail still goes through the per-batch
-        path, and ``measure_time`` disables it (the times_*.json telemetry
-        contract is per-batch).
+        loop-program regime (recorded ~+22% RTM bf16 device throughput)
+        and 1/k the dispatch/fetch overhead; the tail still goes through
+        the per-batch path, and ``measure_time`` disables it (the
+        times_*.json telemetry contract is per-batch).
         """
         images = self._validate_and_pack(images)
         n = images.shape[0]

@@ -134,6 +134,15 @@ CLAIMS = [
     ),
     (
         "README.md",
+        "PMG raw-layout headline img/s",
+        r"the raw-layout headline \(([\d,]+) img/s, `bench\.py --layout raw`\)",
+        lambda: [
+            _art("bench_matrix.json")["pmg_f32_raw"]["images_per_sec"],
+        ],
+        0.02,
+    ),
+    (
+        "README.md",
         "serving wire req/s at 32 clients",
         r"([\d.]+) req/s\s*at ([\d]+) clients \(recorded",
         lambda: [

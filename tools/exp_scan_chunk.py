@@ -109,7 +109,7 @@ def main():
         t_k = t_total / k
         ips_k = args.batch / (t_k / 1e3)
         print(f"S scan over K={k:<2d} stacked     : {t_k:8.3f} ms/fwd = "
-              f"{ips_k:10,.0f} img/s   ({ips_k / ips_a:+.1%} vs standalone)")
+              f"{ips_k:10,.0f} img/s   ({ips_k / ips_a - 1:+.1%} vs standalone)")
         rows[f"scan_k{k}"] = {"ms_per_fwd": round(t_k, 4),
                               "images_per_sec": round(ips_k, 1)}
 

@@ -143,6 +143,18 @@ CLAIMS = [
     ),
     (
         "README.md",
+        "scan-chunk vs per-batch RTM bf16 img/s",
+        r"measured ([\d.]+)k img/s for rtm bf16 vs ([\d.]+)k per-batch",
+        lambda: [
+            1e3 / _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["scan_k8"],
+            1e3 / _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["standalone"],
+        ],
+        0.01,
+    ),
+    (
+        "README.md",
         "serving wire req/s at 32 clients",
         r"([\d.]+) req/s\s*at ([\d]+) clients \(recorded",
         lambda: [

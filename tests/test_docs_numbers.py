@@ -155,13 +155,17 @@ CLAIMS = [
     ),
     (
         "README.md",
-        "serving wire req/s at 32 clients",
-        r"([\d.]+) req/s\s*at ([\d]+) clients \(recorded",
+        "serving wire req/s range at 32 clients",
+        r"([\d.]+)-([\d.]+) req/s\s*at ([\d]+) clients \(([\d]+) recorded "
+        r"runs, median ([\d.]+)",
         lambda: [
-            _art("bench_serve.json")["pmg"]["requests_per_sec"],
+            _art("bench_serve.json")["pmg"]["range_req_per_sec"]["min"],
+            _art("bench_serve.json")["pmg"]["range_req_per_sec"]["max"],
             _art("bench_serve.json")["pmg"]["clients"],
+            _art("bench_serve.json")["pmg"]["range_req_per_sec"]["n"],
+            _art("bench_serve.json")["pmg"]["range_req_per_sec"]["median"],
         ],
-        0.01,
+        0.025,
     ),
     (
         "README.md",

@@ -40,7 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="rtm")
     ap.add_argument("--dtype", choices=("f32", "bf16"), default="bf16")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: the family's production batch "
+                    "(bench.FAMILY_BATCH)")
     ap.add_argument("--ks", default="4,8",
                     help="comma-separated scan lengths to probe")
     ap.add_argument("--iters", type=int, default=8,
@@ -69,17 +71,35 @@ def main():
     from wadt.ops.preprocess import normalize_uint8
     from wadt.utils.devtime import device_time_ms
 
+    if args.batch is None:
+        args.batch = bench.default_batch(args.family, args.dtype)
+
     mod, spec, params = bench.build(args.family)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if dtype != jnp.float32:
         params = cast_tree(params, dtype)
     rng = np.random.RandomState(0)
-    imgs = jax.device_put(
-        rng.randint(0, 256, (args.batch, 224, 224, 3), np.uint8))
+    raw = rng.randint(0, 256, (args.batch, 224, 224, 3), np.uint8)
 
-    def fwd(p, u8):
-        logits, _ = mod.apply(p, normalize_uint8(u8, dtype), spec)
-        return logits
+    # measure the PRODUCTION wire format: PMG runs the s2d-packed GEMM-stem
+    # path (bench.py layout="auto"), PM/RTM the raw-NHWC conv path
+    packed = args.family == "pmg" and mod.supports_packed_input(spec)
+    if packed:
+        from wadt.ops.preprocess import s2d_pack_uint8
+
+        raw = s2d_pack_uint8(raw, spec.plan[0].kernel)
+
+        def fwd(p, u8):
+            logits, _ = mod.apply_packed(p, u8, spec, dtype=dtype)
+            return logits
+
+    else:
+
+        def fwd(p, u8):
+            logits, _ = mod.apply(p, normalize_uint8(u8, dtype), spec)
+            return logits
+
+    imgs = jax.device_put(raw)
 
     t_a, _ = device_time_ms(jax.jit(fwd), params, imgs,
                             iters=args.iters, top_n=1)
@@ -89,9 +109,16 @@ def main():
 
     rows = {"standalone": {"ms_per_fwd": round(t_a, 4),
                            "images_per_sec": round(ips_a, 1)}}
+    def one_batch():
+        b = rng.randint(0, 256, (args.batch, 224, 224, 3), np.uint8)
+        if packed:
+            from wadt.ops.preprocess import s2d_pack_uint8
+
+            b = s2d_pack_uint8(b, spec.plan[0].kernel)
+        return b
+
     for k in (int(s) for s in args.ks.split(",")):
-        imgs_k = jax.device_put(rng.randint(
-            0, 256, (k, args.batch, 224, 224, 3), np.uint8))
+        imgs_k = jax.device_put(np.stack([one_batch() for _ in range(k)]))
 
         def scan_fn(p, u8k):
             def body(c, u8):

@@ -436,6 +436,7 @@ def cached_train_step(
             None if mesh is None else id(mesh),
             _freeze_for_key(kwargs),
         )
+        hash(key)  # an unhashable spec builds the tuple fine — probe eagerly
     except TypeError:
         key = None
     if key is not None and key in _STEP_CACHE:

@@ -495,10 +495,26 @@ class WatchFolderService:
         """Append one row, writing the header iff the file is new.  Stdlib csv
         (NOT pandas): watcher threads run concurrently and pandas' lazy
         arrow-string init segfaults under concurrent first use; append-only
-        also makes CSV resume O(1) instead of rewrite-the-file-per-frame."""
+        also makes CSV resume O(1) instead of rewrite-the-file-per-frame.
+
+        Resuming onto a CSV written with a DIFFERENT task set would silently
+        misalign appended rows with the old header, so an existing file's
+        header is verified first and a mismatched file is rotated aside to
+        ``<path>.stale-<n>`` before a fresh one is started."""
         import csv
 
         new = not os.path.exists(path)
+        if not new:
+            with open(path, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header is None:  # empty file: just write the header
+                new = True
+            elif header != cols:
+                n = 0
+                while os.path.exists(f"{path}.stale-{n}"):
+                    n += 1
+                os.replace(path, f"{path}.stale-{n}")
+                new = True
         with open(path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=cols)
             if new:

@@ -213,10 +213,13 @@ def fit(
     # same config in this process (params swap without retrace: they are a
     # traced argument of the jitted step).
     try:
-        eng_key = hash((family, spec, min(bs, 64))) and (family, spec, min(bs, 64))
+        eng_key = (family, spec, min(bs, 64))
+        hash(eng_key)
     except TypeError:  # unhashable custom spec: skip caching
         eng_key = None
-    eval_engine = _EVAL_ENGINE_CACHE.get(eng_key) if eng_key else None
+    eval_engine = (
+        _EVAL_ENGINE_CACHE.get(eng_key) if eng_key is not None else None
+    )
     if eval_engine is None:
         eval_engine = Engine(family, spec, state.params,
                              batch_size=min(bs, 64), prob_threshold=0.0)

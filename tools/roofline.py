@@ -316,6 +316,10 @@ def main():
                     r = fn(family, dtype_name, batch)
                 except Exception as e:  # record the failure, keep going
                     r = {"error": f"{type(e).__name__}: {e}"}
+                # per-row provenance: --record merges into prior rows, so a
+                # carried-over row must keep ITS run's stamp, not the latest
+                r["date"] = out["date"]
+                r["commit"] = out["commit"]
                 out["configs"][key] = r
                 msg = (f"[roofline] {key}: {r.get('device_ms', '?')} ms, "
                        f"{r.get('achieved_tflops', '?')} TF/s "

@@ -54,6 +54,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "defaults to the artifact's recorded threshold)")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--measure_time", action="store_true")
+    p.add_argument("--scan_chunk", default="off",
+                   help="classifier mode: stack k full batches into one "
+                        "lax.scan dispatch (the sustained loop program — "
+                        "'auto' picks the recorded per-family winner, an "
+                        "int forces k, 'off' = per-batch).  Metrics are "
+                        "identical; --measure_time forces per-batch "
+                        "(times_*.json is one wall-time per batch)")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--count_params", action="store_true")
@@ -361,7 +368,8 @@ def main(argv=None) -> int:
         evaluate(engine, loader, args.save_dir,
                  measure_time=args.measure_time, tensorboard_writer=writer,
                  save_test_images=args.save_test_images, profile=args.profile,
-                 show_gt_labels=not args.no_gt_labels)
+                 show_gt_labels=not args.no_gt_labels,
+                 scan_chunk=args.scan_chunk)
 
         if args.visualize_gradcam or args.integrated_gradients:
             _run_explain(args, engine, ds, writer)

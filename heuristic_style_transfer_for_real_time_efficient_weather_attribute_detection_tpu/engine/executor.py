@@ -446,7 +446,8 @@ class Engine:
         ``eval_scan_chunk_<family>_<f32|bf16>``, recorded by
         tools/exp_scan_chunk.py --record; the regimes differ by dtype —
         RTM's sustained program wins bf16 but not f32); ints pass through.
-        No record / off-TPU -> 1 (per-batch dispatch)."""
+        No record / off-TPU -> 1 (per-batch dispatch).  ``"off"``/``None``
+        -> 1 explicitly (the classifier-mode CLI default)."""
         if scan_chunk == "auto":
             from ..ops.kernel_select import winner
 
@@ -454,7 +455,9 @@ class Engine:
             w = winner(f"eval_scan_chunk_{self.family}_{dt}",
                        default="standalone")
             return int(w[len("scan_k"):]) if w.startswith("scan_k") else 1
-        return int(scan_chunk or 1)
+        if scan_chunk in (None, "off"):
+            return 1
+        return int(scan_chunk)
 
     def run_stream(
         self,
@@ -471,6 +474,11 @@ class Engine:
         Returns ``(stacked result dict, flattened extras)`` — row order
         matches the input order, so extras (e.g. kept paths from a
         ``skip_errors`` loader) stay aligned with the result rows.
+
+        On an EMPTY stream the standard keys come back with their real
+        trailing shapes (``probs``/``logits`` [0, T, Kmax],
+        ``preds``/``max_probs`` [0, T]); capture-tap keys, whose shapes are
+        model-internal, fall back to a bare ``[0]`` float32 array.
         """
         k = self.resolve_scan_chunk(scan_chunk)
         outs: Dict[str, List[np.ndarray]] = {c: [] for c in collect}
@@ -527,11 +535,26 @@ class Engine:
         while inflight:
             _drain_one()
         result = {
-            c: (np.concatenate(v, axis=0) if v
-                else np.zeros((0,), np.float32))
+            c: (np.concatenate(v, axis=0) if v else self._empty_result(c))
             for c, v in outs.items()
         }
         return result, extras
+
+    def _empty_result(self, key: str) -> np.ndarray:
+        """[0, ...]-shaped empty matching the step's output layout for the
+        standard keys, so callers indexing e.g. ``probs[:, t]`` on an empty
+        stream get an empty slice, not an IndexError.  Capture-tap keys have
+        model-internal shapes -> bare [0] float32 (documented fallback)."""
+        t, kmax = self._mask.shape
+        if key in ("probs", "logits"):
+            return np.zeros((0, t, kmax), np.float32)
+        if key in ("preds",):
+            return np.zeros((0, t), np.int32)
+        if key in ("max_probs",):
+            return np.zeros((0, t), np.float32)
+        if key in ("loss_per_task", "count_per_task"):
+            return np.zeros((t,), np.float32)
+        return np.zeros((0,), np.float32)
 
     def predict_dict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """{task: probs [N, K_t]} — the reference's per-task dict contract."""

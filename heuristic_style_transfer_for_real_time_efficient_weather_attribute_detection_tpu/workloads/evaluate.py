@@ -32,6 +32,7 @@ def evaluate(
     group_task: Optional[str] = None,
     profile: bool = False,
     show_gt_labels: bool = True,
+    scan_chunk="off",
 ) -> Tuple[float, Dict, float, list]:
     """Returns (avg_loss, metrics, overall_f1, per_batch_times) — the
     reference's ``test_model_optimized`` contract.
@@ -44,6 +45,16 @@ def evaluate(
     wall-clock-only telemetry, SURVEY.md 5.1).  ``show_gt_labels=False``
     (CLI ``--no_gt_labels``) drops the "True:" parts from RTM overlay
     lines (RTM_evaluation.py:307-312).
+
+    ``scan_chunk`` ("off" default; "auto" or an int k) stacks k consecutive
+    full micro-batches into ONE ``lax.scan`` dispatch — the sustained
+    loop-program regime benchmark/folder modes already use via
+    ``Engine.run_stream`` (recorded ~+22% RTM bf16 device throughput,
+    docs/BENCHMARKING.md "The two regimes").  Metrics are bit-identical to
+    the per-batch path (the scanned step IS the per-batch step as a scan
+    body).  ``measure_time`` forces per-batch dispatch: the times_*.json
+    telemetry contract is one wall-time per batch, which a k-batch fused
+    dispatch cannot honor.
     """
     tasks = engine.tasks
     os.makedirs(save_dir, exist_ok=True)
@@ -74,16 +85,35 @@ def evaluate(
 
     inflight = deque()
     _last_done = [time.perf_counter()]
+    # measure_time needs one wall-time per batch -> per-batch dispatch only
+    k_scan = 1 if measure_time else engine.resolve_scan_chunk(scan_chunk)
+    if measure_time and engine.resolve_scan_chunk(scan_chunk) > 1:
+        print("[evaluate] --measure_time needs per-batch telemetry; "
+              "scan_chunk disabled for this run")
 
     def _resolve():
-        imgs, labs, bidx, handle = inflight.popleft()
-        r = engine.fetch(handle)
+        """Pop the oldest in-flight dispatch -> list of per-micro-batch
+        (imgs, labs, batch_idx, result) tuples (one for a per-batch
+        dispatch, k for a scanned one, sliced back to per-batch leaves)."""
+        kind, payload = inflight.popleft()
         now = time.perf_counter()
-        # per-batch time = completion interval (sum ~= wall; the first entry
-        # includes the pipeline fill) — the reference's per-batch telemetry
-        times.append(now - _last_done[0])
+        interval = now - _last_done[0]
         _last_done[0] = now
-        return imgs, labs, bidx, r
+        if kind == "batch":
+            imgs, labs, bidx, handle = payload
+            # per-batch time = completion interval (sum ~= wall; the first
+            # entry includes the pipeline fill) — the reference's telemetry
+            times.append(interval)
+            return [(imgs, labs, bidx, engine.fetch(handle))]
+        pairs, bidx0, res = payload  # scanned: leaves are [k, bs, ...]
+        import jax
+
+        host = jax.device_get(res)
+        times.extend([interval / len(pairs)] * len(pairs))
+        return [
+            (ci, cl, bidx0 + j, {key: v[j] for key, v in host.items()})
+            for j, (ci, cl) in enumerate(pairs)
+        ]
 
     def _completed():
         """Dispatch batches with up to 3 in flight; yield results in order.
@@ -91,18 +121,58 @@ def evaluate(
         time, so the fixed per-fetch latency overlaps across batches instead
         of serializing the eval loop (see Engine.run docstring).  Loader
         batches larger than the engine batch are split into micro-batches
-        (matching Engine.run's chunking)."""
+        (matching Engine.run's chunking).  With ``scan_chunk`` active,
+        consecutive FULL micro-batches go k at a time through ONE
+        ``engine.step_scan`` dispatch; short/tail batches flush the buffer
+        first so row order is preserved (mirrors Engine.run_stream)."""
         bidx = -1
         bs = engine.batch_size
+        buf = []
+
+        def _dispatch_one(ci, cl):
+            nonlocal bidx
+            bidx += 1
+            inflight.append(("batch", (ci, cl, bidx, engine.dispatch(ci, cl))))
+
+        def _flush_buf():
+            while buf:
+                ci, cl = buf.pop(0)
+                _dispatch_one(ci, cl)
+
+        def _dispatch_scan():
+            nonlocal bidx
+            pairs = list(buf)
+            buf.clear()
+            stack = np.stack(
+                [engine._validate_and_pack(ci) for ci, _ in pairs]
+            )
+            lstack = np.stack([cl for _, cl in pairs]).astype(np.int32)
+            res = engine.step_scan(stack, lstack)
+            res = {key: res[key] for key in
+                   ("probs", "preds", "loss_per_task", "count_per_task")}
+            for v in res.values():
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:  # non-Array backends/mocks
+                    pass
+            inflight.append(("scan", (pairs, bidx + 1, res)))
+            bidx += len(pairs)
+
         for imgs, labs, _paths in loader:
             for s in range(0, imgs.shape[0], bs):
-                bidx += 1
                 ci, cl = imgs[s : s + bs], labs[s : s + bs]
-                inflight.append((ci, cl, bidx, engine.dispatch(ci, cl)))
+                if k_scan > 1 and ci.shape[0] == bs:
+                    buf.append((ci, cl))
+                    if len(buf) == k_scan:
+                        _dispatch_scan()
+                else:
+                    _flush_buf()
+                    _dispatch_one(ci, cl)
                 if len(inflight) >= 3:
-                    yield _resolve()
+                    yield from _resolve()
+        _flush_buf()
         while inflight:
-            yield _resolve()
+            yield from _resolve()
 
     for images, labels, batch_idx, res in _completed():
         if profile and batch_idx == 2:

@@ -113,6 +113,43 @@ def test_evaluate_artifacts(synth, engine, tmp_path):
         assert os.path.exists(os.path.join(save, "roc", f"{task}_roc_data.csv"))
 
 
+def test_evaluate_scan_chunk_matches_per_batch(synth, engine, tmp_path):
+    """classifier-mode scan_chunk (k stacked batches -> one lax.scan
+    dispatch) must produce IDENTICAL metrics to the per-batch path — the
+    scanned step is the per-batch step as a scan body — and the
+    measure_time times-per-batch contract must force per-batch dispatch."""
+    from wadt.workloads.evaluate import evaluate
+
+    ds = MultiTaskDataset(
+        os.path.join(synth, "dataset.json"), os.path.join(synth, "tasks.json")
+    )
+
+    def run(save, **kw):
+        loader = BatchLoader(ds, batch_size=4, num_workers=2)
+        return evaluate(engine, loader, save, **kw)
+
+    loss_pb, metrics_pb, f1_pb, _ = run(str(tmp_path / "pb"))
+    loss_sc, metrics_sc, f1_sc, _ = run(str(tmp_path / "sc"), scan_chunk=2)
+    assert loss_sc == pytest.approx(loss_pb, abs=1e-6)
+    assert f1_sc == f1_pb
+    for task in engine.tasks.names:
+        for key in ("accuracy", "precision", "recall", "f1_score"):
+            assert metrics_sc[task][key] == metrics_pb[task][key], (task, key)
+    j_pb = json.load(open(os.path.join(tmp_path, "pb", "metrics_test.json")))
+    j_sc = json.load(open(os.path.join(tmp_path, "sc", "metrics_test.json")))
+    for tasks in (j_pb["tasks"], j_sc["tasks"]):
+        for m in tasks.values():
+            m.pop("roc_png", None)  # embeds the differing save_dir
+    assert j_sc["tasks"] == j_pb["tasks"]
+
+    # measure_time needs one wall-time per batch -> scan_chunk is disabled
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    n_batches = len(loader)
+    _, _, _, times = evaluate(engine, loader, str(tmp_path / "mt"),
+                              measure_time=True, scan_chunk=2)
+    assert len(times) == n_batches
+
+
 def test_run_inference_schema(synth, engine, tmp_path):
     from wadt.workloads.inference import run_inference
 

@@ -7,11 +7,14 @@ through the same sharded train step the single-process path uses.
 PASS = the 2-process run's per-step losses match a single-process
 8-virtual-device run on the same global data to fp tolerance.
 
-Usage:  python tools/dryrun_multihost.py        (parent: spawns the pair,
-                                                 runs the reference, compares)
+Usage:  python tools/dryrun_multihost.py [--record]
+        (parent: spawns the pair, runs the reference, compares;
+         --record writes a pass record to results/multihost_dryrun.json)
 Internal child mode is selected via WADT_MH_PROC.
 """
 
+import argparse
+import datetime
 import json
 import os
 import subprocess
@@ -94,7 +97,7 @@ def child(proc_id: int, out_path: str):
     jax.distributed.shutdown()
 
 
-def parent():
+def parent(record: bool = False):
     out_path = "/tmp/wadt_multihost_losses.json"
     if os.path.exists(out_path):
         os.remove(out_path)
@@ -137,11 +140,35 @@ def parent():
     assert worst < 1e-5, f"multihost diverged: max loss diff {worst}"
     print(f"dryrun_multihost: PASS ({NUM_PROC} processes x {LOCAL_DEVICES} "
           f"devices, {STEPS} steps, max loss diff {worst:.2e})")
+    if record:
+        rec_path = os.path.join(REPO, "results", "multihost_dryrun.json")
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+        rec = {
+            "date": datetime.date.today().isoformat(),
+            "commit": commit,
+            "processes": NUM_PROC,
+            "local_devices": LOCAL_DEVICES,
+            "mesh": {"data": 4, "model": 2},
+            "steps": STEPS,
+            "multi_process_losses": multi,
+            "single_process_losses": single,
+            "max_loss_diff": worst,
+            "pass": True,
+        }
+        os.makedirs(os.path.dirname(rec_path), exist_ok=True)
+        with open(rec_path, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(f"recorded -> {rec_path}")
 
 
 if __name__ == "__main__":
     pid = os.environ.get("WADT_MH_PROC")
     if pid is None:
-        parent()
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--record", action="store_true",
+                        help="write a pass record to results/multihost_dryrun.json")
+        parent(record=ap.parse_args().record)
     else:
         child(int(pid), os.environ["WADT_MH_OUT"])

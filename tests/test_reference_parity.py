@@ -83,3 +83,28 @@ def test_fuzz_random_architectures():
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "FUZZ PARITY OK" in proc.stdout
+
+
+def test_ingest_published_on_shipped_fixture(tmp_path):
+    """tools/ingest_published.py — the one-command published-checkpoint
+    ingestion — must PASS end-to-end on tests/fixtures/pmg_shipped.pth,
+    which is structurally identical to the published best_model_PMG.pth
+    (same hparams, same 81-key manifest as pretrained_load_report): key
+    manifest MATCH, strict convert, bit-exact reverse export, and the live
+    reference logit gate.  The real <50 MB blobs are unreachable on this
+    rig; given a downloaded file this same command is the proof."""
+    report = tmp_path / "ingest_report.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ingest_published.py"),
+         os.path.join(REPO, "tests", "fixtures", "pmg_shipped.pth"),
+         "--report", str(report)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    import json
+
+    rec = json.loads(report.read_text())
+    assert rec["pass"] is True
+    assert rec["manifest"]["match"] is True
+    assert rec["roundtrip"]["bitexact"] is True
+    assert rec["live_gate"]["ok"] is True

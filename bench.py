@@ -265,18 +265,27 @@ def main():
     args = ap.parse_args()
 
     if args.all:
-        matrix = {}
+        # MERGE into the existing matrix (a full sweep must not drop
+        # single-config rows like pmg_f32_raw) and stamp per-row
+        # provenance — rows can legitimately come from different runs.
+        path = os.path.join(REPO, "results", "bench_matrix.json")
+        try:
+            with open(path) as f:
+                matrix = json.load(f)
+        except (OSError, ValueError):
+            matrix = {}
         for family in ("pmg", "pm", "rtm"):
             for dtype_name in ("f32", "bf16"):
                 batch = args.batch or default_batch(family, dtype_name)
                 ips = measure(family, dtype_name, batch, args.layout)
                 matrix[f"{family}_{dtype_name}"] = {
                     "images_per_sec": round(ips, 1), "batch": batch,
+                    **_provenance(),
                 }
                 print(f"[bench] {family} {dtype_name} batch={batch}: "
                       f"{ips:,.0f} img/s", file=sys.stderr)
         os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
-        with open(os.path.join(REPO, "results", "bench_matrix.json"), "w") as f:
+        with open(path, "w") as f:
             json.dump(matrix, f, indent=2)
         headline = matrix["pmg_f32"]["images_per_sec"]
         print(json.dumps(result_line("pmg", "f32", headline)))
@@ -294,13 +303,24 @@ def main():
                 matrix = json.load(f)
         except (OSError, ValueError):
             matrix = {}
-        matrix[key] = {"images_per_sec": round(ips, 1), "batch": batch}
+        matrix[key] = {"images_per_sec": round(ips, 1), "batch": batch,
+                       **_provenance()}
         if args.layout == "raw":
             matrix[key]["layout"] = "raw"
         with open(path, "w") as f:
             json.dump(matrix, f, indent=2)
         print(f"[bench] recorded {key} -> {path}", file=sys.stderr)
     print(json.dumps(result_line(args.family, args.dtype, ips)))
+
+
+def _provenance():
+    import datetime
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
+    return {"date": datetime.date.today().isoformat(), "commit": commit}
 
 
 if __name__ == "__main__":

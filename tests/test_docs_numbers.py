@@ -1,6 +1,8 @@
-"""Doc-rot guard: every quoted headline number in README.md / CLAUDE.md must
-match its checked-in results/ artifact (round-3 verdict: the README cited
-roofline/sweep numbers that no artifact contained).
+"""Doc-rot guard: every quoted headline number in README.md / CLAUDE.md /
+docs/BENCHMARKING.md / docs/TRAINING.md must match its checked-in results/
+artifact (round-3 verdict: the README cited roofline/sweep numbers that no
+artifact contained; round-4 verdict: CLAUDE.md's hand-maintained matrix and
+BENCHMARKING's regime quotes were unguarded).
 
 Each claim is a regex with one or more capture groups anchored to the prose
 around the number.  A missing match FAILS: if the wording changes, update the
@@ -189,12 +191,104 @@ CLAIMS = [
         "README.md",
         "style-transfer s/image (device loop vs host-stepped)",
         r"\*\*([\d.]+) s/image\*\* for 300 iterations.*?~([\d,]+) s/image "
-        r"measured for a\s*host-stepped loop",
+        r"for a host-stepped\s*loop",
         lambda: [
             _art("bench_style.json")["s_per_image"],
             _art("bench_style.json")["host_stepped_s_per_image_est"],
         ],
         0.01,
+    ),
+    (
+        "CLAUDE.md",
+        "headline matrix: PMG packed f32/bf16 + raw layout (k img/s)",
+        r"PMG shipped: ([\d.]+)k f32 / ([\d.]+)k bf16 img/s at batch 512"
+        r".*?Raw layout: ([\d.]+)k",
+        lambda: [
+            _art("bench_matrix.json")["pmg_f32"]["images_per_sec"] / 1e3,
+            _art("bench_matrix.json")["pmg_bf16"]["images_per_sec"] / 1e3,
+            _art("bench_matrix.json")["pmg_f32_raw"]["images_per_sec"] / 1e3,
+        ],
+        0.015,
+    ),
+    (
+        "CLAUDE.md",
+        "headline matrix: PM f32/bf16 (k img/s)",
+        r"PM defaults: ([\d.]+)k f32 / ([\d.]+)k bf16 img/s at batch 256",
+        lambda: [
+            _art("bench_matrix.json")["pm_f32"]["images_per_sec"] / 1e3,
+            _art("bench_matrix.json")["pm_bf16"]["images_per_sec"] / 1e3,
+        ],
+        0.015,
+    ),
+    (
+        "CLAUDE.md",
+        "headline matrix: RTM f32/bf16 (k img/s)",
+        r"RTM full ResNet-50: ([\d.]+)k f32 / ([\d.]+)k bf16 img/s at batch 128",
+        lambda: [
+            _art("bench_matrix.json")["rtm_f32"]["images_per_sec"] / 1e3,
+            _art("bench_matrix.json")["rtm_bf16"]["images_per_sec"] / 1e3,
+        ],
+        0.015,
+    ),
+    (
+        "CLAUDE.md",
+        "train-step throughput f32 + bf16 (k img/s)",
+        r"f32: PMG ([\d.]+)k / PM ([\d.]+)k / RTM ([\d.]+)k; bf16 mixed\s*"
+        r"precision: ([\d.]+)k / ([\d.]+)k / ([\d.]+)k img/s",
+        lambda: [
+            _art("bench_train.json")["pmg"]["train_images_per_sec"] / 1e3,
+            _art("bench_train.json")["pm"]["train_images_per_sec"] / 1e3,
+            _art("bench_train.json")["rtm"]["train_images_per_sec"] / 1e3,
+            _art("bench_train.json")["pmg_bf16"]["train_images_per_sec"] / 1e3,
+            _art("bench_train.json")["pm_bf16"]["train_images_per_sec"] / 1e3,
+            _art("bench_train.json")["rtm_bf16"]["train_images_per_sec"] / 1e3,
+        ],
+        0.02,
+    ),
+    (
+        "CLAUDE.md",
+        "per-frame stream floors: PMG fused / PM / RTM packed-stem (µs)",
+        r"\*\*([\d.]+) us/frame\*\* via the fused pallas trunk\+gram"
+        r".*?batch=1 PM: ([\d.]+) us/frame"
+        r".*?\*\*([\d.]+) us\*\* with the s2d-packed stem",
+        lambda: [
+            _art("bench_floor.json")["stream_floor_us"]["pmg"],
+            _art("bench_floor.json")["stream_floor_us"]["pm"],
+            _art("bench_floor.json")["stream_floor_us"]["rtm"],
+        ],
+        0.015,
+    ),
+    (
+        "docs/BENCHMARKING.md",
+        "scan-chunk production quote: standalone vs scan_k8 rtm_bf16",
+        r"standalone ([\d.]+) ms/fwd = ([\d.]+)k img/s,\s*"
+        r"scan_k8 ([\d.]+) ms/fwd = \*\*([\d.]+)k img/s\*\*",
+        lambda: [
+            _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["standalone"] * 128 / 1e3,
+            1e3 / _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["standalone"],
+            _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["scan_k8"] * 128 / 1e3,
+            1e3 / _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["scan_k8"],
+        ],
+        0.01,
+    ),
+    (
+        "docs/BENCHMARKING.md",
+        "regime table rows: single-dispatch vs sustained rtm_bf16_b128",
+        r"\| single-dispatch \|[^|]*\| ([\d.]+) ms/fwd → ([\d.]+)k img/s \|\s*"
+        r"\| sustained \|[^|]*\| ([\d.]+) ms/fwd → ([\d.]+)k img/s \|",
+        lambda: [
+            _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["standalone"] * 128 / 1e3,
+            1e3 / _art("kernel_ab.json")["tpu"]["eval_scan_chunk_rtm_bf16"][
+                "variants"]["standalone"],
+            128e3 / _art("bench_matrix.json")["rtm_bf16"]["images_per_sec"],
+            _art("bench_matrix.json")["rtm_bf16"]["images_per_sec"] / 1e3,
+        ],
+        0.025,
     ),
     (
         "docs/TRAINING.md",

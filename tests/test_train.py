@@ -372,3 +372,20 @@ def test_cached_train_step_reuses_traced_step():
     g = cached_train_step("pmg", spec, class_weights=cw * 2)
     assert g[2] is not e[2]
     assert len(_STEP_CACHE) <= 16
+
+    # an UNHASHABLE spec builds the key tuple fine but must fall back to an
+    # uncached build, not raise at the cache lookup (advisor round-4 finding)
+    class _UnhashableSpec:
+        def __init__(self, inner):
+            object.__setattr__(self, "_inner", inner)
+
+        def __getattr__(self, k):
+            return getattr(object.__getattribute__(self, "_inner"), k)
+
+        __hash__ = None
+
+    n_before = len(_STEP_CACHE)
+    u1 = cached_train_step("pmg", _UnhashableSpec(spec), dropout_rate=0.0)
+    u2 = cached_train_step("pmg", _UnhashableSpec(spec), dropout_rate=0.0)
+    assert u1[2] is not u2[2]  # uncached: fresh build each call
+    assert len(_STEP_CACHE) == n_before  # and nothing was cached

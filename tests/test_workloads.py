@@ -150,6 +150,45 @@ def test_evaluate_scan_chunk_matches_per_batch(synth, engine, tmp_path):
     assert len(times) == n_batches
 
 
+def test_run_stream_empty_stream_shapes(engine):
+    """An empty stream returns shaped empties for the standard keys
+    (probs/logits [0,T,Kmax], preds/max_probs [0,T]) so callers indexing
+    res['probs'][:, t] get an empty slice, not an IndexError; capture-tap
+    keys fall back to [0] float32 (documented contract)."""
+    t, kmax = len(engine.tasks), engine.tasks.max_classes
+    res, extras = engine.run_stream(
+        iter([]), collect=("probs", "logits", "preds", "max_probs")
+    )
+    assert extras == []
+    assert res["probs"].shape == (0, t, kmax)
+    assert res["logits"].shape == (0, t, kmax)
+    assert res["preds"].shape == (0, t)
+    assert res["max_probs"].shape == (0, t)
+    _ = res["probs"][:, 0]  # the failure mode the shapes exist to prevent
+
+
+def test_watch_csv_rotates_on_header_mismatch(tmp_path):
+    """Resuming a watch folder onto a history CSV written with a DIFFERENT
+    task set must not append misaligned rows: the stale file is rotated
+    aside and a fresh one started with the current header."""
+    import csv
+
+    from wadt.workloads.inference import WatchFolderService
+
+    p = str(tmp_path / "prediction_history.csv")
+    ap = WatchFolderService._append_csv_row
+    ap(p, ["timestamp", "image", "A_pred"], {"timestamp": 1, "image": "x", "A_pred": "y"})
+    ap(p, ["timestamp", "image", "B_pred"], {"timestamp": 2, "image": "z", "B_pred": "w"})
+    assert os.path.exists(p + ".stale-0")
+    rows = list(csv.reader(open(p)))
+    assert rows[0] == ["timestamp", "image", "B_pred"]
+    assert len(rows) == 2
+    # same header appends without another rotation
+    ap(p, ["timestamp", "image", "B_pred"], {"timestamp": 3, "image": "q", "B_pred": "v"})
+    assert len(list(csv.reader(open(p)))) == 3
+    assert not os.path.exists(p + ".stale-1")
+
+
 def test_run_inference_schema(synth, engine, tmp_path):
     from wadt.workloads.inference import run_inference
 

@@ -21,6 +21,14 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def _accum_dtype(x: jnp.ndarray) -> jnp.dtype:
+    """Gram accumulation dtype: f32 for f32/bf16 inputs (MXU accumulator),
+    f64 when the caller runs the whole pipeline in f64 (the parity fuzz's
+    ground-truth adjudication leg — pinning f32 there would silently round
+    the one computation whose job is to be more accurate than f32)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+
 def pad_to_divisible(x: jnp.ndarray, div: int) -> jnp.ndarray:
     """Replicate-pad bottom/right of NHWC ``x`` so H and W divide ``div``.
 
@@ -70,7 +78,7 @@ def patch_gram_tokens(x: jnp.ndarray, div: int) -> jnp.ndarray:
     patches, area = split_patches(x, div)
     b, np_, n, c = patches.shape
     g = jnp.einsum(
-        "bpnc,bpnd->bpcd", patches, patches, preferred_element_type=jnp.float32
+        "bpnc,bpnd->bpcd", patches, patches, preferred_element_type=_accum_dtype(patches)
     ) * (1.0 / float(area))
     return g.reshape(b, np_, c * c).astype(x.dtype)
 
@@ -100,7 +108,7 @@ def style_patch_grams(x: jnp.ndarray, div: int) -> jnp.ndarray:
     v = x.transpose(0, 3, 1, 2)[:, :, : nh * ph, : nw * pw]  # NCHW crop
     v = v.reshape(b, c, nh * nw, ph * pw)  # the reference's exact regroup
     return jnp.einsum(
-        "bcpn,bdpn->bpcd", v, v, preferred_element_type=jnp.float32
+        "bcpn,bdpn->bpcd", v, v, preferred_element_type=_accum_dtype(v)
     ) * (1.0 / float(ph * pw))
 
 
@@ -109,5 +117,5 @@ def patch_grams(x: jnp.ndarray, div: int) -> jnp.ndarray:
     this form; reference utils/PMG/PMG_style_transfer.py:11-48)."""
     patches, area = split_patches(x, div)
     return jnp.einsum(
-        "bpnc,bpnd->bpcd", patches, patches, preferred_element_type=jnp.float32
+        "bpnc,bpnd->bpcd", patches, patches, preferred_element_type=_accum_dtype(patches)
     ) * (1.0 / float(area))

@@ -85,6 +85,27 @@ def test_fuzz_random_architectures():
     assert "FUZZ PARITY OK" in proc.stdout
 
 
+def test_fuzz_style_grad_f64_adjudication():
+    """Regression pin for fuzz seed 820 case pmg#1 (group-norm trunk,
+    patch_size=70): its style-transfer pixel gradient is intrinsically
+    ill-conditioned in f32 — ulp-level forward rounding is amplified >1e4x
+    by the loss curvature, so NO pure-f32 implementation can meet the 5e-4
+    tolerance (torch-f32 only does via its CPU kernels' double
+    accumulators; analysis in tools/exp_style_grad_conditioning.py).  The
+    harness must adjudicate such marginal drifts against f64 ground truth
+    (both implementations agree to ~5e-15 there) and pass the case."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fuzz_reference_parity.py"),
+         "--families", "pmg", "--n", "2", "--seed", "820"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "FUZZ PARITY OK" in proc.stdout
+    # the adjudication path must actually have run (case #1 drifts 9.2e-04
+    # in f32) and resolved it as conditioning, not a parity break
+    assert "adjudicated" in proc.stdout and "f32 conditioning" in proc.stdout
+
+
 def test_ingest_published_on_shipped_fixture(tmp_path):
     """tools/ingest_published.py — the one-command published-checkpoint
     ingestion — must PASS end-to-end on tests/fixtures/pmg_shipped.pth,

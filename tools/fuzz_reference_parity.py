@@ -313,18 +313,22 @@ def _gradcam_drift(family, m, spec, params, x_nchw, x_nhwc, tasks) -> float:
     return drift
 
 
-def _style_grad_drift(m, params, spec, seed: int) -> float:
-    """Style-transfer OPTIMIZATION parity (PMG only): the loss value and the
-    pixel gradient of the patch-Gram style loss must match the reference's
-    autograd (utils/PMG/PMG_style_transfer.py:11-59 extract_patch_grams_for_
-    image + patch_gram_style_loss — imported and run, not reimplemented).
-    Gradient drift is scaled to the gradient's own magnitude."""
+def _style_grad_once(m, params, spec, seed: int, f64: bool):
+    """One style-loss + pixel-gradient evaluation of both implementations.
+
+    Returns (torch_grad CHW, jax_grad CHW, torch_loss, jax_loss), computed
+    in f32 (the parity comparison proper) or in f64 (the ground-truth
+    adjudication leg — ``m`` is cast to double and restored, jax runs under
+    ``jax_enable_x64`` with f64-cast params)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     from compare_with_reference import _stub_missing_modules
     from wadt.models.pmg import trunk_features
     from wadt.ops.gram import style_patch_grams
+    from wadt.ops.nn import conv_accum
     from wadt.workloads.style_transfer import extract_style_grams
 
     _stub_missing_modules()  # PMG_style_transfer imports torchvision
@@ -336,31 +340,93 @@ def _style_grad_drift(m, params, spec, seed: int) -> float:
     rng = np.random.RandomState(seed + 5)
     style_nchw = rng.rand(1, 3, 224, 224).astype(np.float32)
     gen_nchw = rng.rand(1, 3, 224, 224).astype(np.float32)
+    tdtype = torch.float64 if f64 else torch.float32
 
-    style_t = torch.from_numpy(style_nchw)
-    gen_t = torch.from_numpy(gen_nchw).clone().requires_grad_(True)
-    style_grams_t = extract_patch_grams_for_image(m, style_t, detach=True)
-    grams_gen = extract_patch_grams_for_image(m, gen_t, detach=False)
-    loss_t = patch_gram_style_loss(grams_gen, style_grams_t)
-    loss_t.backward()
-    want_grad = gen_t.grad.numpy()[0]  # CHW
+    try:
+        mm = m.double() if f64 else m
+        style_t = torch.from_numpy(style_nchw).to(tdtype)
+        gen_t = torch.from_numpy(gen_nchw).to(tdtype).clone().requires_grad_(True)
+        style_grams_t = extract_patch_grams_for_image(mm, style_t, detach=True)
+        grams_gen = extract_patch_grams_for_image(mm, gen_t, detach=False)
+        loss_t = patch_gram_style_loss(grams_gen, style_grams_t)
+        loss_t.backward()
+        want_grad = gen_t.grad.numpy()[0].astype(np.float64)  # CHW
+    finally:
+        if f64:
+            m.float()  # f32->f64->f32 roundtrip is exact
 
-    style_j = jnp.asarray(np.transpose(style_nchw, (0, 2, 3, 1)))
-    gen_j = jnp.asarray(np.transpose(gen_nchw, (0, 2, 3, 1)))
-    style_grams_j = extract_style_grams(params, spec, style_j)
+    @contextlib.contextmanager
+    def _x64():
+        if not f64:
+            yield
+            return
+        import jax as _jax
 
-    def loss_fn(g):
-        feats = trunk_features(params, g, spec)
-        grams = style_patch_grams(feats, spec.patch_div)
-        return jnp.mean((grams - style_grams_j) ** 2)
+        _jax.config.update("jax_enable_x64", True)
+        try:
+            # conv2d pins preferred_element_type=f32; unpin so the f64 leg
+            # really accumulates in f64 (gram einsums adapt via _accum_dtype)
+            with conv_accum(None):
+                yield
+        finally:
+            _jax.config.update("jax_enable_x64", False)
 
-    loss_j, grad_j = jax.value_and_grad(loss_fn)(gen_j)
-    got_grad = np.transpose(np.asarray(grad_j[0]), (2, 0, 1))  # HWC -> CHW
+    jdtype = np.float64 if f64 else np.float32
+    with _x64():
+        jparams = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a, jdtype)), params
+        ) if f64 else params
+        style_j = jnp.asarray(np.transpose(style_nchw, (0, 2, 3, 1)).astype(jdtype))
+        gen_j = jnp.asarray(np.transpose(gen_nchw, (0, 2, 3, 1)).astype(jdtype))
+        style_grams_j = extract_style_grams(jparams, spec, style_j)
 
-    loss_drift = _rel_drift(float(loss_j), float(loss_t.item()))
+        def loss_fn(g):
+            feats = trunk_features(jparams, g, spec)
+            grams = style_patch_grams(feats, spec.patch_div)
+            return jnp.mean((grams - style_grams_j) ** 2)
+
+        loss_j, grad_j = jax.value_and_grad(loss_fn)(gen_j)
+        got_grad = np.transpose(np.asarray(grad_j[0]), (2, 0, 1)).astype(np.float64)
+
+    return want_grad, got_grad, float(loss_t.item()), float(loss_j)
+
+
+def _style_grad_drift(m, params, spec, seed: int) -> float:
+    """Style-transfer OPTIMIZATION parity (PMG only): the loss value and the
+    pixel gradient of the patch-Gram style loss must match the reference's
+    autograd (utils/PMG/PMG_style_transfer.py:11-59 extract_patch_grams_for_
+    image + patch_gram_style_loss — imported and run, not reimplemented).
+    Gradient drift is scaled to the gradient's own magnitude.
+
+    Marginal drifts are ADJUDICATED against f64 ground truth: the style
+    gradient of some random specs is intrinsically ill-conditioned in f32 —
+    ulp-level forward rounding is amplified >1e4x by the loss curvature
+    (first seen at fuzz seed 820 case 1, a group-norm trunk: drift 9.2e-04
+    while torch-f32 matched f64 only thanks to its CPU kernels' double
+    accumulators; our composition is semantically exact — jax-f64 == torch-
+    f64 to 1.4e-15, tools/exp_style_grad_conditioning.py).  When the f32
+    drift is above tolerance but both f64 implementations agree to 1e-9,
+    the divergence is f32 conditioning, not a parity break — accept it up
+    to a 5e-2 cap (a REAL mismatch shows up in f64 and at O(1))."""
+    want_grad, got_grad, loss_t, loss_j = _style_grad_once(
+        m, params, spec, seed, f64=False
+    )
+    loss_drift = _rel_drift(loss_j, loss_t)
     gscale = max(float(np.abs(want_grad).max()), 1e-12)
     grad_drift = float(np.abs(got_grad - want_grad).max()) / gscale
-    return max(loss_drift, grad_drift)
+    drift = max(loss_drift, grad_drift)
+    if REL_TOL < drift <= 5e-2:
+        w64, g64, lt64, lj64 = _style_grad_once(m, params, spec, seed, f64=True)
+        s64 = max(float(np.abs(w64).max()), 1e-12)
+        err64 = max(float(np.abs(g64 - w64).max()) / s64, _rel_drift(lj64, lt64))
+        if err64 < 1e-9:
+            print(f"    [style-grad] f32 drift {drift:.2e} adjudicated: "
+                  f"f64 implementations agree to {err64:.1e} -> f32 "
+                  f"conditioning, not a parity break")
+            return 0.0
+        print(f"    [style-grad] f32 drift {drift:.2e} and f64 err {err64:.2e} "
+              f"-> REAL divergence")
+    return drift
 
 
 def _trees_equal(a, b) -> bool:

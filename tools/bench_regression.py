@@ -155,14 +155,25 @@ def main() -> int:
         return 1
 
     if args.update:
+        import datetime
+        import subprocess
+
+        stamp = {
+            "date": datetime.date.today().isoformat(),
+            "commit": subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                capture_output=True, text=True).stdout.strip(),
+        }
         if train_measured:
             for cfg, ips in train_measured.items():
                 train_spec[cfg]["train_images_per_sec"] = ips
+                train_spec[cfg].update(stamp)
             with open(train_path, "w") as f:
                 json.dump(train_spec, f, indent=2)
             print(f"[bench_regression] train floors updated -> {train_path}")
         spec["floors"].update(measured)
         spec.setdefault("stream_floor_us", {}).update(stream_measured)
+        spec["updated"] = stamp  # whole-file stamp: --update re-measures all
         with open(FLOOR_PATH, "w") as f:
             json.dump(spec, f, indent=2)
         print(f"[bench_regression] floors updated -> {FLOOR_PATH}")

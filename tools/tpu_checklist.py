@@ -63,6 +63,39 @@ def check_bf16_argmax_parity() -> bool:
     return ok
 
 
+def check_scan_chunk_parity() -> bool:
+    """The sustained scan-chunk program (Engine.step_scan: k stacked
+    micro-batches as ONE lax.scan dispatch — engine/executor.py, used by
+    run_stream/run/classifier --scan_chunk) must reproduce the per-batch
+    step's numerics ON CHIP: the scan body is the same step function, but
+    XLA compiles a different (loop) program, so TPU lowering parity needs
+    its own gate.  Runs the shipped-config PMG engine (packed wire format)
+    at batch 8, k=2: argmax bit-equal, logits within fp-reassociation
+    tolerance."""
+    import numpy as np
+
+    import wadt  # noqa: F401
+    from wadt.engine import checkpoint
+    from wadt.engine.executor import Engine
+    from wadt.models import get_family
+
+    meta = json.load(open(os.path.join(FIXTURES, "pmg_shipped.json")))
+    mod = get_family("pmg")
+    spec = mod.build_spec(meta["tasks"], meta["hparams"])
+    params = checkpoint.load_torch_checkpoint(
+        "pmg", os.path.join(FIXTURES, "pmg_shipped.pth"), spec
+    )
+    eng = Engine("pmg", spec, params, batch_size=8)
+    imgs = np.random.RandomState(3).randint(0, 256, (16, 224, 224, 3), np.uint8)
+    per_batch = eng.run(imgs, collect=("logits", "preds"))
+    scanned = eng.run(imgs, collect=("logits", "preds"), scan_chunk=2)
+    argmax_ok = bool(np.array_equal(per_batch["preds"], scanned["preds"]))
+    drift = float(np.abs(per_batch["logits"] - scanned["logits"]).max())
+    print(f"  [scan_chunk] pmg k=2: argmax {'ok' if argmax_ok else 'DIFF'} "
+          f"logit drift {drift:.2e}")
+    return argmax_ok and drift < 1e-4
+
+
 def check_packed_stream_parity() -> bool:
     """PMG streaming fast paths vs the generic step on the shipped
     checkpoint: the packed path is bit-exact (checked under pinned full-f32
@@ -352,6 +385,9 @@ def main() -> int:
          "PMG streaming paths parity (fused + packed; pins full-f32 "
          "precision for the packed bit-exact check)",
          check_packed_stream_parity),
+        ("scan_chunk_parity",
+         "sustained scan-chunk program parity vs per-batch (on-chip)",
+         check_scan_chunk_parity),
     ]
     n_total = len(checks) + 1
     for i, (key, title, fn) in enumerate(checks, 1):

@@ -150,3 +150,33 @@ def test_wrong_family_checkpoint_names_the_right_one(tmp_path):
                            dict(truncate_layer=5, use_attention=False))
     with pytest.raises(ValueError, match="matches PMG"):
         checkpoint.load_torch_checkpoint("rtm", pth, rspec)
+
+
+def test_gram_f64_accumulation_for_adjudication():
+    """The fuzz's f64 adjudication leg (fuzz_reference_parity._style_grad_
+    once) runs the gram einsums on f64 inputs; ops/gram._accum_dtype must
+    then accumulate in f64 (not the pinned-f32 MXU path) or the "ground
+    truth" would be quietly rounded.  f32/bf16 inputs keep f32 accumulation
+    — the measured TPU behavior the A/B records were taken under."""
+    import jax
+    import jax.numpy as jnp
+
+    from wadt.ops.gram import patch_grams, style_patch_grams, _accum_dtype
+
+    assert _accum_dtype(jnp.zeros((1,), jnp.float32)) == jnp.float32
+    assert _accum_dtype(jnp.zeros((1,), jnp.bfloat16)) == jnp.float32
+
+    x32 = np.random.RandomState(0).randn(1, 6, 6, 4).astype(np.float32)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x64 = jnp.asarray(x32.astype(np.float64))
+        assert _accum_dtype(x64) == jnp.float64
+        for fn in (style_patch_grams, patch_grams):
+            g64 = fn(x64, 2)
+            assert g64.dtype == jnp.float64
+            # numpy f64 reference for the style split (no padding at 6%2==0)
+            np.testing.assert_allclose(
+                np.asarray(g64), np.asarray(fn(jnp.asarray(x32), 2), np.float64),
+                rtol=1e-6)
+    finally:
+        jax.config.update("jax_enable_x64", False)
